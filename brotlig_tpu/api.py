@@ -1,0 +1,54 @@
+"""Public Brotli-G API (mirrors the reference C API, inc/BrotliG.h:25-26).
+
+encode()            -> CPU reference encoder (TPU encode lands in ops/)
+decode()            -> TPU decoder when available, else CPU oracle
+decode_cpu()        -> CPU oracle decoder
+decompressed_size() -> header-only size query
+max_compressed_size() -> one-shot output buffer bound
+"""
+from __future__ import annotations
+
+from .format import constants as C
+from .format.precondition import DataConditionParams
+from .refimpl import codec as _cpu
+
+max_compressed_size = C.max_compressed_size
+
+
+def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
+           dc_params: DataConditionParams | None = None,
+           max_chain: int = 64) -> bytes:
+    return _cpu.encode(data, page_size=page_size, dc_params=dc_params,
+                       max_chain=max_chain)
+
+
+def decode_cpu(data: bytes) -> bytes:
+    return _cpu.decode(data)
+
+
+def decompressed_size(data: bytes) -> int:
+    return _cpu.decompressed_size(data)
+
+
+def decode(data: bytes, backend: str = "auto") -> bytes:
+    """Decode a Brotli-G container.
+
+    backend: "tpu" forces the JAX path, "cpu" the scalar oracle, "auto"
+    prefers TPU when a jax device is available.
+    """
+    if backend == "cpu":
+        return _cpu.decode(data)
+    try:
+        from .ops.decode import decode_stream_jax
+    except Exception:
+        if backend == "tpu":
+            raise
+        return _cpu.decode(data)
+    if backend in ("tpu", "auto"):
+        try:
+            return decode_stream_jax(data)
+        except NotImplementedError:
+            if backend == "tpu":
+                raise
+            return _cpu.decode(data)
+    raise ValueError(f"unknown backend {backend!r}")
