@@ -1,0 +1,423 @@
+"""TPU-native batched Brotli-G page decoder (pure JAX/XLA dataflow).
+
+Architecture (vs the reference GPU kernel BrotliGCompute.hlsl:1349-1432):
+
+* Phase A — wavefront symbol decode, vectorized over [pages, 32 lanes].
+  Each round decodes one command per lane (speculatively; lanes past the
+  sentinel are rolled back), translates nothing, and decodes the round's
+  literal batches — exactly the reference round-robin schedule
+  (PageDecoder.cpp:158-236) with the wave intrinsics replaced by masked
+  vector ops. Output: dense command arrays + a literal buffer per page.
+
+* Phase B — log-depth LZ77 resolution. The distance ring
+  (PageDecoder.cpp:345-404) is a linear recurrence over pushes, resolved by
+  pointer doubling with additive deltas; each output byte's source is then
+  a copy-chain pointer resolved by a second pointer-doubling pass, and one
+  final gather places literals. No serialized byte copies anywhere — the
+  approach the parallel-LZ77 literature calls source-chain resolution,
+  mapped onto XLA gathers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import constants as C
+from ..format import lut
+from .bits import peek_bits, reverse_bits_15
+from .tables import build_search, load_table, parse_page_headers, \
+    search_decode
+
+I32 = jnp.int32
+NBS = C.NUM_BITSTREAMS
+
+# constant command LUTs as device arrays
+_CMD_INS_BASE = jnp.asarray(lut.CMD_INSERT_BASE, dtype=I32)
+_CMD_INS_EXTRA = jnp.asarray(lut.CMD_INSERT_EXTRA, dtype=I32)
+_CMD_CPY_BASE = jnp.asarray(lut.CMD_COPY_BASE, dtype=I32)
+_CMD_CPY_EXTRA = jnp.asarray(lut.CMD_COPY_EXTRA, dtype=I32)
+_INS_BASE = jnp.asarray(lut.INSERT_BASE, dtype=I32)
+_INS_EXTRA = jnp.asarray(lut.INSERT_EXTRA, dtype=I32)
+
+
+def _decode_symbol(words, search, trivial, bitpos):
+    """Huffman-decode one symbol per (page, lane). Returns (sym, codelen)."""
+    win = peek_bits(words, bitpos, 15).astype(I32)
+    idx = reverse_bits_15(win).astype(I32)
+    sym, ln = search_decode(search, idx, C.HUFFMAN_NUM_CODE_LENGTH,
+                            C.HUFFMAN_TABLE_BITS)
+    is_triv = (trivial >= 0)[:, None]
+    sym = jnp.where(is_triv, trivial[:, None], sym)
+    ln = jnp.where(is_triv, 0, ln)
+    return sym, ln
+
+
+def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
+             page_size: int, max_cmds: int):
+    """Wavefront command/literal decode. Returns dense command arrays."""
+    P = words.shape[0]
+    lane = jnp.arange(NBS, dtype=I32)[None, :]
+    rows = jnp.arange(P, dtype=I32)
+    max_rounds = (max_cmds + NBS - 1) // NBS
+    lit_cap = page_size + 64
+
+    icp_s, icp_t = icp
+    dist_s, dist_t = dist
+    lit_s, lit_t = lit
+
+    def lit_batch_body(state):
+        j, bp, litbuf, qtail, rlit = state
+        active = (j * NBS + lane) < rlit[:, None]
+        sym, ln = _decode_symbol(words, lit_s, lit_t, bp)
+        bp = bp + jnp.where(active, ln, 0)
+        cols = jnp.where(active, qtail[:, None] + j * NBS + lane, lit_cap)
+        litbuf = litbuf.at[rows[:, None], cols].set(
+            sym.astype(jnp.uint8), mode="drop")
+        return j + 1, bp, litbuf, qtail, rlit
+
+    def lit_batch_cond(state):
+        j, _, _, _, rlit = state
+        return j * NBS < jnp.max(rlit)
+
+    def round_body(carry):
+        (r, bp, done, ncmds, prev_tail, qtail, litbuf,
+         ins_a, cpy_a, dcode_a, dextra_a) = carry
+        active = ~done
+
+        # --- decode command symbol per lane ---
+        sym, ln = _decode_symbol(words, icp_s, icp_t, bp)
+        bp1 = bp + ln
+        is_norm = sym < C.NUM_COMMAND_SYMBOLS
+        is_sent_like = sym == C.SENTINEL_COMMAND
+        is_insonly = sym > C.NUM_COMMAND_SYMBOLS
+
+        sym_c = jnp.clip(sym, 0, C.NUM_COMMAND_SYMBOLS)
+        ins_bits = jnp.where(is_insonly,
+                             _INS_EXTRA[jnp.clip(sym - C.NUM_COMMAND_SYMBOLS,
+                                                 0, 23)],
+                             _CMD_INS_EXTRA[sym_c])
+        ins_base = jnp.where(is_insonly,
+                             _INS_BASE[jnp.clip(sym - C.NUM_COMMAND_SYMBOLS,
+                                                0, 23)],
+                             _CMD_INS_BASE[sym_c])
+        cpy_bits = jnp.where(is_norm, _CMD_CPY_EXTRA[sym_c], 0)
+        cpy_base = jnp.where(is_norm, _CMD_CPY_BASE[sym_c], 0)
+
+        ins_extra = peek_bits(words, bp1, ins_bits).astype(I32)
+        cpy_extra = peek_bits(words, bp1 + ins_bits, cpy_bits).astype(I32)
+        insert_len = ins_base + ins_extra
+        copy_len = cpy_base + cpy_extra
+        bp2 = bp1 + ins_bits + cpy_bits
+
+        # --- distance symbol + extra (only commands >= 128) ---
+        need_dist = is_norm & (sym >= 128)
+        dsym, dln = _decode_symbol(words, dist_s, dist_t, bp2)
+        bp3 = bp2 + jnp.where(need_dist, dln, 0)
+        npf = npostfix[:, None]
+        ndir = ndirect[:, None]
+        is_long = dsym >= (16 + ndir)
+        dnb = jnp.where(need_dist & is_long,
+                        1 + ((jnp.maximum(dsym - ndir - 16, 0))
+                             >> (npf + 1)), 0)
+        dnb = jnp.clip(dnb, 0, 30)
+        dextra = peek_bits(words, bp3, dnb).astype(I32)
+        bp4 = bp3 + dnb
+
+        # --- sentinel lane + rollback ---
+        k = jnp.min(jnp.where(is_sent_like, lane, NBS), axis=1)  # [P]
+        k = jnp.where(active, k, 0)
+        valid = active[:, None] & (lane < k[:, None])
+        bp_next = jnp.where(valid, bp4,
+                            jnp.where(active[:, None] & (lane == k[:, None]),
+                                      bp1, bp))
+
+        insert_len = jnp.where(valid, insert_len, 0)
+        copy_len = jnp.where(valid, copy_len, 0)
+        dcode = jnp.where(valid & need_dist, dsym,
+                          jnp.where(valid & is_norm, 0, -1))
+        dextra = jnp.where(valid, dextra, 0)
+
+        col0 = r * NBS
+        ins_a = jax.lax.dynamic_update_slice(ins_a, insert_len, (0, col0))
+        cpy_a = jax.lax.dynamic_update_slice(cpy_a, copy_len, (0, col0))
+        dcode_a = jax.lax.dynamic_update_slice(dcode_a, dcode, (0, col0))
+        dextra_a = jax.lax.dynamic_update_slice(dextra_a, dextra, (0, col0))
+        ncmds = ncmds + jnp.where(active, k, 0)
+
+        # --- literal batches for this round ---
+        litcount = jnp.sum(insert_len, axis=1)
+        bs = k
+        aclit = jnp.maximum(litcount - prev_tail, 0)
+        mult = jnp.where(bs > 0, (aclit + bs - 1) // jnp.maximum(bs, 1), 0)
+        rlit = jnp.where(active, bs * mult, 0)
+        prev_tail = jnp.where(active, rlit + prev_tail - litcount, prev_tail)
+
+        _, bp_after, litbuf, _, _ = jax.lax.while_loop(
+            lit_batch_cond, lit_batch_body,
+            (jnp.int32(0), bp_next, litbuf, qtail, rlit))
+        qtail = qtail + rlit
+
+        done = done | (active & (k < NBS))
+        return (r + 1, bp_after, done, ncmds, prev_tail, qtail, litbuf,
+                ins_a, cpy_a, dcode_a, dextra_a)
+
+    def round_cond(carry):
+        r, _, done, *_ = carry
+        return (~jnp.all(done)) & (r < max_rounds)
+
+    init = (
+        jnp.int32(0), lane_bp, jnp.zeros((P,), bool),
+        jnp.zeros((P,), I32), jnp.zeros((P,), I32), jnp.zeros((P,), I32),
+        jnp.zeros((P, lit_cap + 1), jnp.uint8),
+        jnp.zeros((P, max_cmds), I32), jnp.zeros((P, max_cmds), I32),
+        jnp.full((P, max_cmds), -1, I32), jnp.zeros((P, max_cmds), I32),
+    )
+    (_, _, _, ncmds, _, _, litbuf, ins_a, cpy_a, dcode_a,
+     dextra_a) = jax.lax.while_loop(round_cond, round_body, init)
+    return ncmds, litbuf[:, :page_size], ins_a, cpy_a, dcode_a, dextra_a
+
+
+def _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
+                       npostfix, ndirect, max_cmds: int):
+    """Distance-ring resolution via pointer doubling (PageDecoder.cpp:345-404
+    semantics). Returns dist [P, N] absolute distances."""
+    P, N = dcode_a.shape
+    cid = jnp.arange(N, dtype=I32)[None, :]
+    valid = cid < ncmds[:, None]
+    code = jnp.where(valid, dcode_a, -1)
+
+    npf = npostfix[:, None]
+    ndir = ndirect[:, None]
+    is_dir = (code >= 16) & (code < 16 + ndir)
+    is_long = code >= 16 + ndir
+    s = jnp.maximum(code - ndir - 16, 0)
+    nbits = 1 + (s >> (npf + 1))
+    hcode = s >> npf
+    lcode = s & ((1 << npf) - 1)
+    offs = ((2 + (hcode & 1)) << nbits) - 4
+    long_val = ((offs + dextra_a) << npf) + lcode + ndir + 1
+    abs_val = jnp.where(is_dir, code - 15, long_val)
+
+    # ring-relative codes 0..15 -> (depth, delta)
+    is_rel = (code >= 0) & (code < 16)
+    depth = jnp.where(code < 4, jnp.maximum(code, 0),
+                      jnp.where(code < 10, 0, 1))
+    d_off = jnp.maximum(code - 4, 0)
+    delta_mag = (d_off % 6) // 2 + 1
+    delta_sign = jnp.where((code & 1) == 1, 1, -1)
+    delta = jnp.where((code >= 4) & (code < 16), delta_sign * delta_mag, 0)
+
+    # push ranks: virtual pushes 0..3 hold the initial ring
+    is_push = valid & (code > 0)
+    rank = 4 + jnp.cumsum(is_push.astype(I32), axis=1) \
+        - is_push.astype(I32)  # exclusive
+    ref_push = rank - 1 - depth
+
+    # push number -> node id. Nodes: 0..N-1 commands, N..N+3 virtual.
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    push_map = jnp.full((P, N + 5), 0, I32)
+    push_map = push_map.at[:, 0:4].set(
+        jnp.arange(N, N + 4, dtype=I32)[None, :])
+    scatter_pos = jnp.where(is_push, rank, N + 4)
+    push_map = push_map.at[rows, scatter_pos].set(
+        jnp.broadcast_to(cid, (P, N)), mode="drop")
+    # re-set virtual slots in case a garbage rank hit 0..3 (can't: rank>=4)
+
+    parent = jnp.where(is_rel,
+                       jnp.take_along_axis(
+                           push_map, jnp.clip(ref_push, 0, N + 3), axis=1),
+                       cid)  # absolute/no-dist: self-root
+    dl = jnp.where(is_rel, delta, 0)
+
+    # node value base (roots): commands with absolute code; virtual ring
+    val = jnp.where(is_long | is_dir, abs_val, 0)
+    virt = jnp.asarray([16, 15, 11, 4], dtype=I32)
+    val = jnp.concatenate([val, jnp.broadcast_to(virt[None, :], (P, 4))],
+                          axis=1)
+    parent = jnp.concatenate(
+        [parent, jnp.arange(N, N + 4, dtype=I32)[None, :]
+         + jnp.zeros((P, 4), I32)], axis=1)
+    dl = jnp.concatenate([dl, jnp.zeros((P, 4), I32)], axis=1)
+
+    iters = max(1, (N + 4 - 1).bit_length())
+    for _ in range(iters):
+        par_par = jnp.take_along_axis(parent, parent, axis=1)
+        dl_par = jnp.take_along_axis(dl, parent, axis=1)
+        dl = dl + dl_par
+        parent = par_par
+
+    dist = jnp.take_along_axis(val, parent, axis=1) + dl
+    return dist[:, :N]
+
+
+def _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size: int):
+    """Source-chain LZ77 resolution -> output bytes [P, page_size]."""
+    P, N = ins_a.shape
+    S = page_size
+    cov = ins_a + cpy_a
+    starts = jnp.cumsum(cov, axis=1) - cov          # exclusive
+    lit_starts = jnp.cumsum(ins_a, axis=1) - ins_a  # exclusive
+
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
+    cmd_of = jax.vmap(
+        lambda st, p: jnp.searchsorted(st, p, side="right"))(starts, pos)
+    cmd_of = jnp.clip(cmd_of - 1, 0, N - 1)
+
+    st = jnp.take_along_axis(starts, cmd_of, axis=1)
+    ins_c = jnp.take_along_axis(ins_a, cmd_of, axis=1)
+    lst = jnp.take_along_axis(lit_starts, cmd_of, axis=1)
+    dst = jnp.take_along_axis(dist, cmd_of, axis=1)
+
+    in_insert = pos < st + ins_c
+    src = jnp.where(in_insert,
+                    S + lst + (pos - st),
+                    jnp.clip(pos - dst, 0, S - 1))
+
+    iters = max(1, (S - 1).bit_length())
+    for _ in range(iters):
+        chase = jnp.take_along_axis(src, jnp.clip(src, 0, S - 1), axis=1)
+        src = jnp.where(src < S, chase, src)
+
+    lit_idx = jnp.clip(src - S, 0, litbuf.shape[1] - 1)
+    out = jnp.take_along_axis(litbuf, lit_idx, axis=1)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _stage_symbols(words: jnp.ndarray, in_sizes: jnp.ndarray,
+                   page_size: int, max_cmds: int):
+    """Headers + tables + wavefront symbol decode (Phase A)."""
+    npostfix, ndirect, isdelta, lane_bp = parse_page_headers(words, in_sizes)
+    icp_len, icp_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_COMMAND_SYMBOLS_EFFECTIVE)
+    dst_len, dst_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_DISTANCE_SYMBOLS)
+    lit_len, lit_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_LITERAL_SYMBOLS)
+
+    mk = lambda lens: build_search(lens, C.HUFFMAN_NUM_CODE_LENGTH,
+                                   C.HUFFMAN_TABLE_BITS)
+    ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a = _phase_a(
+        words, lane_bp, (mk(icp_len), icp_triv), (mk(dst_len), dst_triv),
+        (mk(lit_len), lit_triv), npostfix, ndirect, page_size, max_cmds)
+    return (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+            npostfix, ndirect, isdelta)
+
+
+@partial(jax.jit, static_argnums=(8, 9))
+def _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+              npostfix, ndirect, page_size: int, max_cmds: int):
+    """Distance-ring resolution + source-chain LZ77 execution (Phase B)."""
+    dist = _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
+                              npostfix, ndirect, max_cmds)
+    return _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size)
+
+
+def decode_pages(words: jnp.ndarray, in_sizes: jnp.ndarray,
+                 page_size: int, max_cmds: int):
+    """Decode a batch of compressed (non-raw) pages.
+
+    words: uint32 [P, W]; in_sizes: int32 [P].
+    Returns (out [P, page_size] uint8, isdelta [P] int32).
+
+    Runs as two jitted stages: compiling phase A and phase B into one XLA
+    program makes XLA pick layouts that slow the round loop ~30x, so the
+    stages stay separate (device-to-device hand-off, no host transfer).
+    """
+    (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npostfix, ndirect,
+     isdelta) = _stage_symbols(words, in_sizes, page_size, max_cmds)
+    out = _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+                    npostfix, ndirect, page_size, max_cmds)
+    return out, isdelta
+
+
+# ---------------------------------------------------------------------------
+# Stream-level wrapper
+# ---------------------------------------------------------------------------
+
+def _batch_pages(payload: bytes, offsets, sizes, compressed_idx, W):
+    P = len(compressed_idx)
+    arr = np.zeros((P, W * 4), dtype=np.uint8)
+    in_sizes = np.zeros(P, dtype=np.int32)
+    for row, i in enumerate(compressed_idx):
+        off, sz = int(offsets[i]), int(sizes[i])
+        arr[row, :sz] = np.frombuffer(payload, dtype=np.uint8,
+                                      count=sz, offset=off)
+        in_sizes[row] = sz
+    return jnp.asarray(arr.view(np.uint32).reshape(P, W)), \
+        jnp.asarray(in_sizes)
+
+
+def max_cmds_for(page_size: int) -> int:
+    n = page_size // 2 + 2
+    return (n + NBS - 1) // NBS * NBS
+
+
+def decode_stream_jax(data: bytes) -> bytes:
+    """Decode a full Brotli-G container with the batched TPU path."""
+    from ..format.headers import StreamHeader, PreconditionHeader, \
+        unpack_page_table
+    from ..format.precondition import (DataConditionParams,
+                                       delta_decode_page, decondition)
+
+    header = StreamHeader.unpack(data)
+    pos = C.STREAM_HEADER_SIZE_BYTES
+    if header.num_pages == 0:
+        return b""
+
+    dc_params = None
+    if header.preconditioned:
+        ph = PreconditionHeader.unpack(data[pos:])
+        pos += C.PRECON_HEADER_SIZE_BYTES
+        dc_params = DataConditionParams(
+            precondition=True, swizzle=ph.swizzled, format=ph.data_format,
+            num_mip_levels=ph.num_mips,
+            pitch_d3d12_aligned=ph.pitch_d3d12_aligned)
+        dc_params.width_in_blocks[0] = ph.width_in_blocks
+        dc_params.height_in_blocks[0] = ph.height_in_blocks
+        dc_params.pitch_in_bytes[0] = ph.pitch_in_bytes
+
+    num_pages = header.num_pages
+    page_size = header.page_size
+    out_size = header.uncompressed_size
+    if dc_params is not None:
+        dc_params.initialize(out_size)
+    offsets, sizes = unpack_page_table(data[pos:], num_pages)
+    pos += num_pages * 4
+    payload = data[pos:]
+
+    out = bytearray(out_size)
+    page_out_sizes = [
+        header.last_page_size if (i == num_pages - 1
+                                  and header.last_page_size) else page_size
+        for i in range(num_pages)]
+
+    raw_idx = [i for i in range(num_pages)
+               if int(sizes[i]) == page_out_sizes[i]]
+    comp_idx = [i for i in range(num_pages)
+                if int(sizes[i]) != page_out_sizes[i]]
+
+    for i in raw_idx:
+        off = int(offsets[i])
+        out[i * page_size: i * page_size + page_out_sizes[i]] = \
+            payload[off: off + page_out_sizes[i]]
+
+    if comp_idx:
+        W = page_size // 4 + 2
+        mc = max_cmds_for(page_size)
+        words, in_sizes = _batch_pages(payload, offsets, sizes, comp_idx, W)
+        pages_out, isdelta = decode_pages(words, in_sizes, page_size, mc)
+        pages_np = np.asarray(pages_out)
+        isdelta_np = np.asarray(isdelta)
+        for row, i in enumerate(comp_idx):
+            chunk = pages_np[row, : page_out_sizes[i]].tobytes()
+            if isdelta_np[row] and dc_params is not None:
+                chunk = delta_decode_page(chunk, i * page_size, dc_params)
+            out[i * page_size: i * page_size + page_out_sizes[i]] = chunk
+
+    if dc_params is not None:
+        return decondition(bytes(out), dc_params)
+    return bytes(out[:out_size])

@@ -18,3 +18,8 @@ if os.environ.get("BROTLIG_TEST_TPU") != "1":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from brotlig_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

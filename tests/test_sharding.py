@@ -1,0 +1,40 @@
+"""Multi-device (virtual 8-CPU mesh) sharded decode == single-device."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from brotlig_tpu.format import constants as C
+from brotlig_tpu.parallel.sharding import (decode_stream_sharded, make_mesh,
+                                           pad_batch)
+from brotlig_tpu.refimpl.codec import encode
+
+from test_roundtrip import make_data
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "conftest should expose 8 virtual CPU devices"
+    return make_mesh(devs[:8])
+
+
+class TestShardedDecode:
+    def test_eight_way_roundtrip(self, cpu_mesh):
+        # 10 pages over 8 devices -> padded to 16 with dummy pages
+        data = make_data("text", 10 * C.MIN_PAGE_SIZE - 1234, seed=5)
+        blob = encode(data, page_size=C.MIN_PAGE_SIZE)
+        out = decode_stream_sharded(blob, cpu_mesh)
+        assert out == data
+
+    def test_matches_unsharded(self, cpu_mesh):
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        data = make_data("repetitive", 5 * C.MIN_PAGE_SIZE, seed=6)
+        blob = encode(data, page_size=C.MIN_PAGE_SIZE)
+        assert decode_stream_sharded(blob, cpu_mesh) == \
+            decode_stream_jax(blob)
+
+    def test_pad_batch(self):
+        assert pad_batch(10, 8) == 16
+        assert pad_batch(8, 8) == 8
+        assert pad_batch(1, 8) == 8
