@@ -21,7 +21,10 @@ import numpy as np
 from brotlig_tpu.utils import jaxcache
 jaxcache.enable()
 
-BASELINE_CPU_DECODE_GBPS = 1.0
+# Measured on this host (4-core) with the native C++ decoder
+# (brotlig_tpu/native), single thread, 4 MiB mixed corpus — the stand-in for
+# the reference CPU decoder's throughput (see BASELINE.md).
+BASELINE_CPU_DECODE_GBPS = 0.160
 PAGE_SIZE = 64 * 1024
 CACHE = "/tmp/brotlig_bench_pages_v1.pkl"
 

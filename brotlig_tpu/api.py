@@ -22,7 +22,15 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
                        max_chain=max_chain)
 
 
-def decode_cpu(data: bytes) -> bytes:
+def decode_cpu(data: bytes, num_threads: int = 0) -> bytes:
+    """CPU decode: native C++ decoder when available (multithreaded over
+    pages), Python oracle otherwise / for preconditioned streams."""
+    try:
+        from . import native
+        if native.available():
+            return native.decode(data, num_threads=num_threads)
+    except (NotImplementedError, RuntimeError):
+        pass
     return _cpu.decode(data)
 
 
@@ -37,18 +45,18 @@ def decode(data: bytes, backend: str = "auto") -> bytes:
     prefers TPU when a jax device is available.
     """
     if backend == "cpu":
-        return _cpu.decode(data)
+        return decode_cpu(data)
     try:
         from .ops.decode import decode_stream_jax
     except Exception:
         if backend == "tpu":
             raise
-        return _cpu.decode(data)
+        return decode_cpu(data)
     if backend in ("tpu", "auto"):
         try:
             return decode_stream_jax(data)
         except NotImplementedError:
             if backend == "tpu":
                 raise
-            return _cpu.decode(data)
+            return decode_cpu(data)
     raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,90 @@
+"""Brotli-G command line (mirrors the reference sample CLI,
+sample/brotlig_cli.cpp): compress to .brotlig, decompress from .brotlig,
+reports sizes, time, bandwidth (GiB/s) and compression ratio.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .format import constants as C
+from .format.precondition import DataConditionParams
+
+FORMATS = {"bc1": C.DATA_FORMAT_BC1, "bc2": C.DATA_FORMAT_BC2,
+           "bc3": C.DATA_FORMAT_BC3, "bc4": C.DATA_FORMAT_BC4,
+           "bc5": C.DATA_FORMAT_BC5}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="brotlig", description="Brotli-G codec (TPU-native)")
+    p.add_argument("input")
+    p.add_argument("output", nargs="?")
+    p.add_argument("--page-size", type=int, default=C.DEFAULT_PAGE_SIZE,
+                   help="page size in bytes (32768/65536/131072)")
+    p.add_argument("--backend", choices=["auto", "cpu", "tpu"],
+                   default="auto", help="decode backend")
+    p.add_argument("--num-repeat", type=int, default=1,
+                   help="repeat codec N times and report the best")
+    # preconditioning (encode only)
+    p.add_argument("--precondition", action="store_true")
+    p.add_argument("--data-format", choices=sorted(FORMATS), default=None)
+    p.add_argument("--width", type=int, default=0, help="texture width px")
+    p.add_argument("--height", type=int, default=0, help="texture height px")
+    p.add_argument("--mips", type=int, default=1)
+    p.add_argument("--pitch", type=int, default=0)
+    p.add_argument("--swizzle", action="store_true")
+    p.add_argument("--delta-encode", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from . import api
+
+    data = open(args.input, "rb").read()
+    compressing = not args.input.endswith(".brotlig")
+
+    dc = None
+    if compressing and args.precondition:
+        if not args.data_format:
+            print("error: --precondition requires --data-format",
+                  file=sys.stderr)
+            return 2
+        dc = DataConditionParams(
+            precondition=True, swizzle=args.swizzle,
+            delta_encode=args.delta_encode,
+            format=FORMATS[args.data_format],
+            width_in_pixels=args.width, height_in_pixels=args.height,
+            num_mip_levels=args.mips, row_pitch_in_bytes=args.pitch)
+        dc.check()
+
+    best = None
+    for _ in range(max(args.num_repeat, 1)):
+        t0 = time.perf_counter()
+        if compressing:
+            out = api.encode(data, page_size=args.page_size, dc_params=dc)
+        else:
+            out = api.decode(data, backend=args.backend)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    outfile = args.output or (
+        args.input + ".brotlig" if compressing
+        else args.input[: -len(".brotlig")] + ".out")
+    with open(outfile, "wb") as f:
+        f.write(out)
+
+    big = max(len(data), len(out))
+    print(f"input:  {len(data)} bytes")
+    print(f"output: {len(out)} bytes -> {outfile}")
+    print(f"time:   {best:.4f} s")
+    print(f"bandwidth: {big / best / (1 << 30):.3f} GiB/s")
+    if compressing:
+        print(f"ratio:  {len(data) / max(len(out), 1):.3f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

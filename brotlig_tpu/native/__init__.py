@@ -1,0 +1,96 @@
+"""Native CPU decoder bindings (ctypes over brotlig_core.cpp).
+
+The shared library builds on demand with g++ -O3 (no pybind11 in this
+environment). `available()` is False when no toolchain exists; callers fall
+back to the Python oracle.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "brotlig_core.cpp")
+_LIB = os.path.join(_DIR, "libbrotlig_core.so")
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", _LIB, _SRC, "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            lib.blg_decompressed_size.restype = ctypes.c_uint64
+            lib.blg_decompressed_size.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64]
+            lib.blg_decode.restype = ctypes.c_int
+            lib.blg_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
+            lib.blg_decode_page.restype = ctypes.c_int
+            lib.blg_decode_page.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+            _lib = lib
+        except Exception as e:  # toolchain missing / build failure
+            _build_error = str(e)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decompressed_size(data: bytes) -> int:
+    lib = _load()
+    return int(lib.blg_decompressed_size(data, len(data)))
+
+
+def decode(data: bytes, num_threads: int = 0) -> bytes:
+    """Decode a non-preconditioned container with the native decoder.
+
+    Raises NotImplementedError for preconditioned streams (the Python layer
+    handles deconditioning) and ValueError on corrupt input.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native decoder unavailable: {_build_error}")
+    padded = data + b"\x00" * 16  # slack for the 64-bit bit-reader loads
+    n = decompressed_size(data)
+    out = (ctypes.c_uint8 * max(n, 1))()
+    out_size = ctypes.c_uint64(0)
+    rc = lib.blg_decode(padded, len(data), out, n,
+                        ctypes.byref(out_size), num_threads)
+    if rc == 2:
+        raise NotImplementedError("preconditioned stream")
+    if rc != 0:
+        raise ValueError(f"corrupt stream (native decoder rc={rc})")
+    return bytes(bytearray(out)[: out_size.value])
+
+
+def decode_page(data: bytes, out_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native decoder unavailable: {_build_error}")
+    padded = data + b"\x00" * 16
+    out = (ctypes.c_uint8 * max(out_size, 1))()
+    rc = lib.blg_decode_page(padded, len(data), out, out_size)
+    if rc != 0:
+        raise ValueError(f"corrupt page (native decoder rc={rc})")
+    return bytes(bytearray(out)[:out_size])

@@ -28,8 +28,8 @@ import numpy as np
 from ..format import constants as C
 from ..format import lut
 from .bits import peek_bits, reverse_bits_15
-from .tables import build_search, load_table, parse_page_headers, \
-    search_decode
+from .tables import build_flat, build_search, flat_decode, load_table, \
+    parse_page_headers, search_decode
 
 I32 = jnp.int32
 NBS = C.NUM_BITSTREAMS
@@ -43,12 +43,14 @@ _INS_BASE = jnp.asarray(lut.INSERT_BASE, dtype=I32)
 _INS_EXTRA = jnp.asarray(lut.INSERT_EXTRA, dtype=I32)
 
 
-def _decode_symbol(words, search, trivial, bitpos):
-    """Huffman-decode one symbol per (page, lane). Returns (sym, codelen)."""
+def _decode_symbol(words, flat, trivial, bitpos):
+    """Huffman-decode one symbol per (page, lane). Returns (sym, codelen).
+
+    Uses the packed flat table (one gather); trivial tables decode to their
+    single symbol consuming zero bits, as in the reference."""
     win = peek_bits(words, bitpos, 15).astype(I32)
     idx = reverse_bits_15(win).astype(I32)
-    sym, ln = search_decode(search, idx, C.HUFFMAN_NUM_CODE_LENGTH,
-                            C.HUFFMAN_TABLE_BITS)
+    sym, ln = flat_decode(flat, idx)
     is_triv = (trivial >= 0)[:, None]
     sym = jnp.where(is_triv, trivial[:, None], sym)
     ln = jnp.where(is_triv, 0, ln)
@@ -298,11 +300,11 @@ def _stage_symbols(words: jnp.ndarray, in_sizes: jnp.ndarray,
     lit_len, lit_triv, lane_bp = load_table(
         words, lane_bp, C.NUM_LITERAL_SYMBOLS)
 
-    mk = lambda lens: build_search(lens, C.HUFFMAN_NUM_CODE_LENGTH,
-                                   C.HUFFMAN_TABLE_BITS)
     ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a = _phase_a(
-        words, lane_bp, (mk(icp_len), icp_triv), (mk(dst_len), dst_triv),
-        (mk(lit_len), lit_triv), npostfix, ndirect, page_size, max_cmds)
+        words, lane_bp,
+        (build_flat(icp_len), icp_triv), (build_flat(dst_len), dst_triv),
+        (build_flat(lit_len), lit_triv), npostfix, ndirect,
+        page_size, max_cmds)
     return (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
             npostfix, ndirect, isdelta)
 

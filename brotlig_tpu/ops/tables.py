@@ -116,6 +116,40 @@ def build_search(lengths: jnp.ndarray, max_len: int, table_bits: int):
     return dict(first=first, limit=limit, offset=offset, symdict=symdict)
 
 
+def build_flat(lengths: jnp.ndarray, table_bits: int = 15) -> jnp.ndarray:
+    """lengths [P, A] -> packed flat decode table [P, 2^table_bits] int32.
+
+    Entry = (symbol << 5) | code_len, indexed by the MSB-aligned
+    (bit-reversed) peek window — the vector analog of the reference's
+    2^15-entry direct-lookup table (BrotligHuffmanTable.cpp:44-71), built
+    with one searchsorted instead of per-symbol fills. One gather then
+    decodes a symbol, which is ~3x fewer vector ops than the range search
+    in the phase-A inner loops.
+    """
+    P, A = lengths.shape
+    size = 1 << table_bits
+    s = build_search(lengths, C.HUFFMAN_NUM_CODE_LENGTH, table_bits)
+    symdict = s["symdict"]
+    len_r = jnp.take_along_axis(lengths, symdict, axis=1)  # canonical order
+    spans = jnp.where(len_r > 0,
+                      jnp.int32(1) << (table_bits - len_r), 0)
+    cum = jnp.cumsum(spans, axis=1)
+    entries = jnp.broadcast_to(
+        jnp.arange(size, dtype=I32)[None, :], (P, size))
+    rank = jax.vmap(
+        lambda cv, e: jnp.searchsorted(cv, e, side="right"))(cum, entries)
+    rank = jnp.clip(rank, 0, A - 1)
+    sym = jnp.take_along_axis(symdict, rank, axis=1)
+    ln = jnp.take_along_axis(len_r, rank, axis=1)
+    return (sym << 5) | ln
+
+
+def flat_decode(flat: jnp.ndarray, window: jnp.ndarray):
+    """Decode via flat table: window is bit-reversed peek. -> (sym, len)."""
+    v = jnp.take_along_axis(flat, window, axis=1)
+    return v >> 5, v & 31
+
+
 def search_decode(search, window: jnp.ndarray, max_len: int, table_bits: int):
     """Decode one symbol per element from MSB-aligned windows.
 

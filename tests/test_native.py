@@ -1,0 +1,59 @@
+"""Native C++ decoder vs Python oracle."""
+import numpy as np
+import pytest
+
+from brotlig_tpu import native
+from brotlig_tpu.refimpl.codec import encode
+from brotlig_tpu.refimpl.page_encoder import encode_page
+
+from test_roundtrip import make_data
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+class TestNativeDecode:
+    @pytest.mark.parametrize("kind,n", [
+        ("text", 1000), ("text", 65537), ("repetitive", 200_000),
+        ("random", 80_000), ("zeros", 131072), ("structured", 150_000),
+    ])
+    def test_stream_roundtrip(self, kind, n):
+        data = make_data(kind, n, seed=n)
+        blob = encode(data)
+        assert native.decode(blob) == data
+        assert native.decompressed_size(blob) == n
+
+    def test_single_thread_matches(self):
+        data = make_data("text", 150_000, seed=1)
+        blob = encode(data)
+        assert native.decode(blob, num_threads=1) == data
+
+    def test_page_decode(self):
+        data = make_data("structured", 30_000, seed=2)
+        comp = encode_page(data, is_last=True)
+        assert native.decode_page(comp, len(data)) == data
+
+    def test_corrupt_rejected(self):
+        data = make_data("text", 50_000, seed=3)
+        blob = bytearray(encode(data))
+        blob[0] = 0xEE  # break the id byte
+        with pytest.raises(ValueError):
+            native.decode(bytes(blob))
+
+    def test_preconditioned_raises(self):
+        from brotlig_tpu.format import constants as C
+        from brotlig_tpu.format.precondition import DataConditionParams
+        rng = np.random.default_rng(0)
+        size = 64 * 64 * 8
+        tex = (rng.integers(0, 8, size) % 256).astype(np.uint8).tobytes()
+        p = DataConditionParams(precondition=True, format=C.DATA_FORMAT_BC1,
+                                width_in_pixels=256, height_in_pixels=256)
+        blob = encode(tex, page_size=C.MIN_PAGE_SIZE, dc_params=p)
+        with pytest.raises(NotImplementedError):
+            native.decode(blob)
+
+    def test_api_prefers_native(self):
+        import brotlig_tpu
+        data = make_data("text", 80_000, seed=4)
+        blob = brotlig_tpu.encode(data)
+        assert brotlig_tpu.decode(blob, backend="cpu") == data
