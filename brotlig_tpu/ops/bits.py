@@ -39,6 +39,73 @@ def peek_bits(words: jnp.ndarray, bitpos: jnp.ndarray, n_bits) -> jnp.ndarray:
     return jnp.where(n == 0, jnp.uint32(0), window & mask)
 
 
+def peek_bits_fused(words: jnp.ndarray, bitpos: jnp.ndarray,
+                    n_bits) -> jnp.ndarray:
+    """Like peek_bits but with ONE gather (idx and idx+1 stacked).
+
+    On this backend each gather op carries ~200us fixed cost, so halving
+    the gather count in hot loops matters far more than the extra
+    concat/slice ops.
+    """
+    word_idx = (bitpos >> 5).astype(jnp.int32)
+    K = word_idx.shape[-1]
+    idx2 = jnp.concatenate([word_idx, word_idx + 1], axis=-1)
+    g = jnp.take_along_axis(words, idx2, axis=-1)
+    w0 = g[..., :K]
+    w1 = g[..., K:]
+    sh = (bitpos & 31).astype(jnp.uint32)
+    lo = w0 >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - sh))
+    window = lo | hi
+    n = jnp.asarray(n_bits, dtype=jnp.uint32)
+    mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n) - jnp.uint32(1))
+    return jnp.where(n == 0, jnp.uint32(0), window & mask)
+
+
+def fetch_window(words: jnp.ndarray, bitpos: jnp.ndarray, n_words: int):
+    """Fetch n_words consecutive uint32 words per lane with ONE gather.
+
+    Returns (stacked [..., K, n_words] uint32, shift [..., K] = bitpos&31).
+    Bit offset d within the window is then extracted with extract_bits.
+    """
+    word_idx = (bitpos >> 5).astype(jnp.int32)
+    K = word_idx.shape[-1]
+    idx = jnp.concatenate([word_idx + k for k in range(n_words)], axis=-1)
+    g = jnp.take_along_axis(words, idx, axis=-1)
+    win = jnp.stack([g[..., k * K:(k + 1) * K] for k in range(n_words)],
+                    axis=-1)
+    return win, (bitpos & 31).astype(jnp.int32)
+
+
+def extract_bits(win: jnp.ndarray, sh: jnp.ndarray, delta, n_bits,
+                 n_words: int) -> jnp.ndarray:
+    """Extract an n_bits field at bit offset sh+delta from a fetched window.
+
+    win: [..., K, n_words] uint32; sh, delta, n_bits broadcastable [..., K].
+    Requires sh+delta+n_bits <= 32*n_words (caller guarantees).
+    """
+    off = sh + jnp.asarray(delta, dtype=jnp.int32)
+    widx = off >> 5
+    bitoff = (off & 31).astype(jnp.uint32)
+    # select word widx and widx+1 via a where-ladder (no gather)
+    w0 = win[..., 0]
+    w1 = win[..., 1] if n_words > 1 else jnp.zeros_like(w0)
+    for k in range(1, n_words):
+        sel = widx == k
+        w0 = jnp.where(sel, win[..., k], w0)
+        w1 = jnp.where(sel, win[..., k + 1] if k + 1 < n_words
+                       else jnp.zeros_like(w0), w1)
+    lo = w0 >> bitoff
+    hi = jnp.where(bitoff == 0, jnp.uint32(0),
+                   w1 << (jnp.uint32(32) - bitoff))
+    window = lo | hi
+    n = jnp.asarray(n_bits, dtype=jnp.uint32)
+    mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n) - jnp.uint32(1))
+    return jnp.where(n == 0, jnp.uint32(0), window & mask)
+
+
 def reverse_bits_15(v: jnp.ndarray) -> jnp.ndarray:
     """Bit-reverse a 15-bit value (vectorized)."""
     v = v.astype(jnp.uint32)

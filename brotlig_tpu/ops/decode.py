@@ -27,20 +27,15 @@ import numpy as np
 
 from ..format import constants as C
 from ..format import lut
-from .bits import peek_bits, reverse_bits_15
+from . import arith_lut
+from .bits import extract_bits, fetch_window, peek_bits, peek_bits_fused, \
+    reverse_bits_15
 from .tables import build_flat, build_search, flat_decode, load_table, \
     parse_page_headers, search_decode
 
 I32 = jnp.int32
 NBS = C.NUM_BITSTREAMS
 
-# constant command LUTs as device arrays
-_CMD_INS_BASE = jnp.asarray(lut.CMD_INSERT_BASE, dtype=I32)
-_CMD_INS_EXTRA = jnp.asarray(lut.CMD_INSERT_EXTRA, dtype=I32)
-_CMD_CPY_BASE = jnp.asarray(lut.CMD_COPY_BASE, dtype=I32)
-_CMD_CPY_EXTRA = jnp.asarray(lut.CMD_COPY_EXTRA, dtype=I32)
-_INS_BASE = jnp.asarray(lut.INSERT_BASE, dtype=I32)
-_INS_EXTRA = jnp.asarray(lut.INSERT_EXTRA, dtype=I32)
 
 
 def _decode_symbol(words, flat, trivial, bitpos):
@@ -48,7 +43,7 @@ def _decode_symbol(words, flat, trivial, bitpos):
 
     Uses the packed flat table (one gather); trivial tables decode to their
     single symbol consuming zero bits, as in the reference."""
-    win = peek_bits(words, bitpos, 15).astype(I32)
+    win = peek_bits_fused(words, bitpos, 15).astype(I32)
     idx = reverse_bits_15(win).astype(I32)
     sym, ln = flat_decode(flat, idx)
     is_triv = (trivial >= 0)[:, None]
@@ -57,9 +52,29 @@ def _decode_symbol(words, flat, trivial, bitpos):
     return sym, ln
 
 
+def _flat_decode_window(flat, trivial, window15):
+    """Symbol decode from an already-extracted 15-bit window."""
+    idx = reverse_bits_15(window15).astype(I32)
+    sym, ln = flat_decode(flat, idx)
+    is_triv = (trivial >= 0)[:, None]
+    sym = jnp.where(is_triv, trivial[:, None], sym)
+    ln = jnp.where(is_triv, 0, ln)
+    return sym, ln
+
+
+LIT_UNROLL = 8  # literal batches decoded per loop iteration (see below)
+
+
 def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
              page_size: int, max_cmds: int):
-    """Wavefront command/literal decode. Returns dense command arrays."""
+    """Wavefront command/literal decode. Returns dense command arrays.
+
+    Loop-iteration count is the scaling limit on this backend (each
+    device-loop iteration carries ~200us of fixed overhead over the axon
+    tunnel), so literal batches are unrolled LIT_UNROLL at a time and the
+    common case (a round's literals fit one unrolled chunk) runs inline
+    with zero extra loop trips.
+    """
     P = words.shape[0]
     lane = jnp.arange(NBS, dtype=I32)[None, :]
     rows = jnp.arange(P, dtype=I32)
@@ -70,15 +85,23 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
     dist_s, dist_t = dist
     lit_s, lit_t = lit
 
+    def lit_chunk(j0, bp, litbuf, qtail, rlit):
+        """Decode LIT_UNROLL batches of 32 literals starting at batch j0."""
+        for jj in range(LIT_UNROLL):
+            j = j0 + jj
+            active = (j * NBS + lane) < rlit[:, None]
+            sym, ln = _decode_symbol(words, lit_s, lit_t, bp)
+            bp = bp + jnp.where(active, ln, 0)
+            cols = jnp.where(active, qtail[:, None] + j * NBS + lane,
+                             lit_cap)
+            litbuf = litbuf.at[rows[:, None], cols].set(
+                sym.astype(jnp.uint8), mode="drop")
+        return bp, litbuf
+
     def lit_batch_body(state):
         j, bp, litbuf, qtail, rlit = state
-        active = (j * NBS + lane) < rlit[:, None]
-        sym, ln = _decode_symbol(words, lit_s, lit_t, bp)
-        bp = bp + jnp.where(active, ln, 0)
-        cols = jnp.where(active, qtail[:, None] + j * NBS + lane, lit_cap)
-        litbuf = litbuf.at[rows[:, None], cols].set(
-            sym.astype(jnp.uint8), mode="drop")
-        return j + 1, bp, litbuf, qtail, rlit
+        bp, litbuf = lit_chunk(j, bp, litbuf, qtail, rlit)
+        return j + LIT_UNROLL, bp, litbuf, qtail, rlit
 
     def lit_batch_cond(state):
         j, _, _, _, rlit = state
@@ -89,34 +112,41 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
          ins_a, cpy_a, dcode_a, dextra_a) = carry
         active = ~done
 
-        # --- decode command symbol per lane ---
-        sym, ln = _decode_symbol(words, icp_s, icp_t, bp)
+        # --- one mega-window gather covers the whole command per lane:
+        # code(<=15) + ins extra(<=24) + cpy extra(<=24) + dist code(<=15)
+        # + dist extra(<=30) + intra-word shift(<=31) = 139+31 <= 6*32 bits
+        win, sh = fetch_window(words, bp, 6)
+        cmd_window = extract_bits(win, sh, 0, 15, 6).astype(I32)
+        sym, ln = _flat_decode_window(icp_s, icp_t, cmd_window)
         bp1 = bp + ln
         is_norm = sym < C.NUM_COMMAND_SYMBOLS
         is_sent_like = sym == C.SENTINEL_COMMAND
         is_insonly = sym > C.NUM_COMMAND_SYMBOLS
 
-        sym_c = jnp.clip(sym, 0, C.NUM_COMMAND_SYMBOLS)
-        ins_bits = jnp.where(is_insonly,
-                             _INS_EXTRA[jnp.clip(sym - C.NUM_COMMAND_SYMBOLS,
-                                                 0, 23)],
-                             _CMD_INS_EXTRA[sym_c])
-        ins_base = jnp.where(is_insonly,
-                             _INS_BASE[jnp.clip(sym - C.NUM_COMMAND_SYMBOLS,
-                                                0, 23)],
-                             _CMD_INS_BASE[sym_c])
-        cpy_bits = jnp.where(is_norm, _CMD_CPY_EXTRA[sym_c], 0)
-        cpy_base = jnp.where(is_norm, _CMD_CPY_BASE[sym_c], 0)
+        ic_norm, cc_norm = arith_lut.split_command(sym)
+        inscode = jnp.where(is_insonly, sym - C.NUM_COMMAND_SYMBOLS,
+                            jnp.where(is_norm, ic_norm, 0))
+        inscode = jnp.clip(inscode, 0, 23)
+        copycode = jnp.clip(jnp.where(is_norm, cc_norm, 0), 0, 23)
+        ins_bits = jnp.where(is_sent_like, 0,
+                             arith_lut.insert_extra(inscode))
+        ins_base = jnp.where(is_sent_like, 0,
+                             arith_lut.insert_base(inscode))
+        cpy_bits = jnp.where(is_norm, arith_lut.copy_extra(copycode), 0)
+        cpy_base = jnp.where(is_norm, arith_lut.copy_base(copycode), 0)
 
-        ins_extra = peek_bits(words, bp1, ins_bits).astype(I32)
-        cpy_extra = peek_bits(words, bp1 + ins_bits, cpy_bits).astype(I32)
+        ins_extra = extract_bits(win, sh, ln, ins_bits, 6).astype(I32)
+        cpy_extra = extract_bits(win, sh, ln + ins_bits, cpy_bits,
+                                 6).astype(I32)
         insert_len = ins_base + ins_extra
         copy_len = cpy_base + cpy_extra
         bp2 = bp1 + ins_bits + cpy_bits
+        d_off = ln + ins_bits + cpy_bits
 
         # --- distance symbol + extra (only commands >= 128) ---
         need_dist = is_norm & (sym >= 128)
-        dsym, dln = _decode_symbol(words, dist_s, dist_t, bp2)
+        dist_window = extract_bits(win, sh, d_off, 15, 6).astype(I32)
+        dsym, dln = _flat_decode_window(dist_s, dist_t, dist_window)
         bp3 = bp2 + jnp.where(need_dist, dln, 0)
         npf = npostfix[:, None]
         ndir = ndirect[:, None]
@@ -125,7 +155,9 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
                         1 + ((jnp.maximum(dsym - ndir - 16, 0))
                              >> (npf + 1)), 0)
         dnb = jnp.clip(dnb, 0, 30)
-        dextra = peek_bits(words, bp3, dnb).astype(I32)
+        dextra = extract_bits(
+            win, sh, d_off + jnp.where(need_dist, dln, 0), dnb,
+            6).astype(I32)
         bp4 = bp3 + dnb
 
         # --- sentinel lane + rollback ---
@@ -157,9 +189,12 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
         rlit = jnp.where(active, bs * mult, 0)
         prev_tail = jnp.where(active, rlit + prev_tail - litcount, prev_tail)
 
+        # common case inline: one unrolled chunk covers the whole round
+        bp_after, litbuf = lit_chunk(jnp.int32(0), bp_next, litbuf,
+                                     qtail, rlit)
         _, bp_after, litbuf, _, _ = jax.lax.while_loop(
             lit_batch_cond, lit_batch_body,
-            (jnp.int32(0), bp_next, litbuf, qtail, rlit))
+            (jnp.int32(LIT_UNROLL), bp_after, litbuf, qtail, rlit))
         qtail = qtail + rlit
 
         done = done | (active & (k < NBS))
@@ -408,7 +443,7 @@ def decode_stream_jax(data: bytes) -> bytes:
             payload[off: off + page_out_sizes[i]]
 
     if comp_idx:
-        W = page_size // 4 + 2
+        W = page_size // 4 + 8
         mc = max_cmds_for(page_size)
         words, in_sizes = _batch_pages(payload, offsets, sizes, comp_idx, W)
         pages_out, isdelta = decode_pages(words, in_sizes, page_size, mc)

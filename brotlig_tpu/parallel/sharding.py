@@ -108,7 +108,7 @@ def decode_stream_sharded(data: bytes, mesh: Mesh | None = None) -> bytes:
     if comp_idx:
         n_dev = len(mesh.devices.flat)
         P_pad = pad_batch(len(comp_idx), n_dev)
-        W = page_size // 4 + 2
+        W = page_size // 4 + 8
         arr = np.zeros((P_pad, W * 4), dtype=np.uint8)
         in_sizes = np.zeros(P_pad, dtype=np.int32)
         # dummy rows: a minimal valid page (decodes fast, result dropped)
