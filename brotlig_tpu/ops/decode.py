@@ -77,39 +77,61 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
     """
     P = words.shape[0]
     lane = jnp.arange(NBS, dtype=I32)[None, :]
-    rows = jnp.arange(P, dtype=I32)
     max_rounds = (max_cmds + NBS - 1) // NBS
     lit_cap = page_size + 64
+    chunk_w = LIT_UNROLL * NBS                    # literals per chunk slot
+    # one chunk per round + loop-trip chunks; generous because lockstep
+    # trips follow the per-round max across pages
+    max_chunks = max_rounds + 4 * (lit_cap // chunk_w) + 2
 
     icp_s, icp_t = icp
     dist_s, dist_t = dist
     lit_s, lit_t = lit
 
-    def lit_chunk(j0, bp, litbuf, qtail, rlit):
-        """Decode LIT_UNROLL batches of 32 literals starting at batch j0."""
+    # Literal values land in a dense slot buffer via dynamic_update_slice
+    # (scatters cost ~0.15us/element/iteration on this backend; DUS is
+    # O(block)). Slot chunk c holds the round's literals [256c, 256c+256);
+    # per-chunk (queue_start, count) records let a bulk pass compact the
+    # slots into the real literal queue afterwards.
+
+    def lit_chunk(j0, bp, cidx, qtail, rlit, slotbuf, ch_start, ch_count):
+        """Decode one chunk (LIT_UNROLL batches of 32 literals)."""
+        batch_syms = []
         for jj in range(LIT_UNROLL):
             j = j0 + jj
             active = (j * NBS + lane) < rlit[:, None]
             sym, ln = _decode_symbol(words, lit_s, lit_t, bp)
             bp = bp + jnp.where(active, ln, 0)
-            cols = jnp.where(active, qtail[:, None] + j * NBS + lane,
-                             lit_cap)
-            litbuf = litbuf.at[rows[:, None], cols].set(
-                sym.astype(jnp.uint8), mode="drop")
-        return bp, litbuf
+            batch_syms.append(sym.astype(jnp.uint8))
+        block = jnp.concatenate(batch_syms, axis=1)  # [P, 256]
+        slotbuf = jax.lax.dynamic_update_slice(slotbuf, block,
+                                               (0, cidx * chunk_w))
+        # clamp: when another page forces extra lockstep trips past this
+        # page's rlit, record an empty chunk at qtail+rlit to keep the
+        # per-page chunk-end sequence monotone for the compaction search
+        start = qtail + jnp.minimum(j0 * NBS, rlit)
+        count = jnp.clip(rlit - j0 * NBS, 0, chunk_w)
+        ch_start = jax.lax.dynamic_update_slice(
+            ch_start, start[:, None], (0, cidx))
+        ch_count = jax.lax.dynamic_update_slice(
+            ch_count, count[:, None], (0, cidx))
+        return bp, cidx + 1, slotbuf, ch_start, ch_count
 
     def lit_batch_body(state):
-        j, bp, litbuf, qtail, rlit = state
-        bp, litbuf = lit_chunk(j, bp, litbuf, qtail, rlit)
-        return j + LIT_UNROLL, bp, litbuf, qtail, rlit
+        j, bp, cidx, qtail, rlit, slotbuf, ch_start, ch_count = state
+        bp, cidx, slotbuf, ch_start, ch_count = lit_chunk(
+            j, bp, cidx, qtail, rlit, slotbuf, ch_start, ch_count)
+        return (j + LIT_UNROLL, bp, cidx, qtail, rlit, slotbuf,
+                ch_start, ch_count)
 
     def lit_batch_cond(state):
-        j, _, _, _, rlit = state
+        j = state[0]
+        rlit = state[4]
         return j * NBS < jnp.max(rlit)
 
     def round_body(carry):
-        (r, bp, done, ncmds, prev_tail, qtail, litbuf,
-         ins_a, cpy_a, dcode_a, dextra_a) = carry
+        (r, bp, done, ncmds, prev_tail, qtail, cidx, slotbuf,
+         ch_start, ch_count, ins_a, cpy_a, dcode_a, dextra_a) = carry
         active = ~done
 
         # --- one mega-window gather covers the whole command per lane:
@@ -190,16 +212,20 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
         prev_tail = jnp.where(active, rlit + prev_tail - litcount, prev_tail)
 
         # common case inline: one unrolled chunk covers the whole round
-        bp_after, litbuf = lit_chunk(jnp.int32(0), bp_next, litbuf,
-                                     qtail, rlit)
-        _, bp_after, litbuf, _, _ = jax.lax.while_loop(
+        bp_after, cidx, slotbuf, ch_start, ch_count = lit_chunk(
+            jnp.int32(0), bp_next, cidx, qtail, rlit,
+            slotbuf, ch_start, ch_count)
+        (_, bp_after, cidx, _, _, slotbuf, ch_start,
+         ch_count) = jax.lax.while_loop(
             lit_batch_cond, lit_batch_body,
-            (jnp.int32(LIT_UNROLL), bp_after, litbuf, qtail, rlit))
+            (jnp.int32(LIT_UNROLL), bp_after, cidx, qtail, rlit,
+             slotbuf, ch_start, ch_count))
         qtail = qtail + rlit
 
         done = done | (active & (k < NBS))
-        return (r + 1, bp_after, done, ncmds, prev_tail, qtail, litbuf,
-                ins_a, cpy_a, dcode_a, dextra_a)
+        return (r + 1, bp_after, done, ncmds, prev_tail, qtail, cidx,
+                slotbuf, ch_start, ch_count, ins_a, cpy_a, dcode_a,
+                dextra_a)
 
     def round_cond(carry):
         r, _, done, *_ = carry
@@ -208,12 +234,28 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
     init = (
         jnp.int32(0), lane_bp, jnp.zeros((P,), bool),
         jnp.zeros((P,), I32), jnp.zeros((P,), I32), jnp.zeros((P,), I32),
-        jnp.zeros((P, lit_cap + 1), jnp.uint8),
+        jnp.int32(0),
+        jnp.zeros((P, max_chunks * chunk_w), jnp.uint8),
+        jnp.full((P, max_chunks), lit_cap, I32),   # start: lit_cap keeps
+        jnp.zeros((P, max_chunks), I32),           # unwritten ends sorted
         jnp.zeros((P, max_cmds), I32), jnp.zeros((P, max_cmds), I32),
         jnp.full((P, max_cmds), -1, I32), jnp.zeros((P, max_cmds), I32),
     )
-    (_, _, _, ncmds, _, _, litbuf, ins_a, cpy_a, dcode_a,
-     dextra_a) = jax.lax.while_loop(round_cond, round_body, init)
+    (_, _, _, ncmds, _, _, _, slotbuf, ch_start, ch_count, ins_a, cpy_a,
+     dcode_a, dextra_a) = jax.lax.while_loop(round_cond, round_body, init)
+
+    # bulk compaction: slot chunks -> dense literal queue (no scatters)
+    ch_end = ch_start + ch_count
+    q = jnp.broadcast_to(jnp.arange(lit_cap, dtype=I32)[None, :],
+                         (P, lit_cap))
+    chunk_of = jax.vmap(
+        lambda e, qq: jnp.searchsorted(e, qq, side="right"))(ch_end, q)
+    chunk_of = jnp.clip(chunk_of, 0, max_chunks - 1)
+    st = jnp.take_along_axis(ch_start, chunk_of, axis=1)
+    slot = jnp.clip(chunk_of * chunk_w + (q - st), 0,
+                    max_chunks * chunk_w - 1)
+    litbuf = jnp.take_along_axis(slotbuf, slot, axis=1)
+
     return ncmds, litbuf[:, :page_size], ins_a, cpy_a, dcode_a, dextra_a
 
 
@@ -253,19 +295,18 @@ def _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
         - is_push.astype(I32)  # exclusive
     ref_push = rank - 1 - depth
 
-    # push number -> node id. Nodes: 0..N-1 commands, N..N+3 virtual.
-    rows = jnp.arange(P, dtype=I32)[:, None]
-    push_map = jnp.full((P, N + 5), 0, I32)
-    push_map = push_map.at[:, 0:4].set(
-        jnp.arange(N, N + 4, dtype=I32)[None, :])
-    scatter_pos = jnp.where(is_push, rank, N + 4)
-    push_map = push_map.at[rows, scatter_pos].set(
-        jnp.broadcast_to(cid, (P, N)), mode="drop")
-    # re-set virtual slots in case a garbage rank hit 0..3 (can't: rank>=4)
-
+    # push number -> command index, scatter-free: the m-th real push is the
+    # first position where cumsum(is_push) == m+1 (searchsorted); virtual
+    # pushes 0..3 map to nodes N..N+3.
+    push_cum = jnp.cumsum(is_push.astype(I32), axis=1)
+    real_ref = jnp.clip(ref_push - 4, 0, N - 1)
+    ref_cmd = jax.vmap(
+        lambda pc, m: jnp.searchsorted(pc, m, side="left"))(
+            push_cum, real_ref + 1)
+    ref_cmd = jnp.clip(ref_cmd, 0, N - 1)
     parent = jnp.where(is_rel,
-                       jnp.take_along_axis(
-                           push_map, jnp.clip(ref_push, 0, N + 3), axis=1),
+                       jnp.where(ref_push < 4, N + jnp.clip(ref_push, 0, 3),
+                                 ref_cmd),
                        cid)  # absolute/no-dist: self-root
     dl = jnp.where(is_rel, delta, 0)
 
