@@ -38,24 +38,25 @@ NBS = C.NUM_BITSTREAMS
 
 
 
-def _decode_symbol(words, flat, trivial, bitpos):
-    """Huffman-decode one symbol per (page, lane). Returns (sym, codelen).
-
-    Uses the packed flat table (one gather); trivial tables decode to their
-    single symbol consuming zero bits, as in the reference."""
+def _decode_symbol(words, search, trivial, bitpos):
+    """Huffman-decode one symbol per (page, lane). Returns (sym, codelen)."""
     win = peek_bits_fused(words, bitpos, 15).astype(I32)
-    idx = reverse_bits_15(win).astype(I32)
-    sym, ln = flat_decode(flat, idx)
-    is_triv = (trivial >= 0)[:, None]
-    sym = jnp.where(is_triv, trivial[:, None], sym)
-    ln = jnp.where(is_triv, 0, ln)
-    return sym, ln
+    return _flat_decode_window(search, trivial, win)
 
 
-def _flat_decode_window(flat, trivial, window15):
-    """Symbol decode from an already-extracted 15-bit window."""
+def _flat_decode_window(search, trivial, window15):
+    """Symbol decode from an already-extracted 15-bit window.
+
+    Canonical range search: the length comes from 15 compares against
+    per-length limits (slice broadcasts, no gather) and only the final
+    symbol lookup gathers — from the [P, alphabet] canonical dictionary
+    (<=3KB/page operand) instead of a 2^15 flat table (128KB/page). XLA:TPU
+    lowers dynamic gathers to full-operand scans, so operand size is the
+    cost that matters.
+    """
     idx = reverse_bits_15(window15).astype(I32)
-    sym, ln = flat_decode(flat, idx)
+    sym, ln = search_decode(search, idx, C.HUFFMAN_NUM_CODE_LENGTH,
+                            C.HUFFMAN_TABLE_BITS)
     is_triv = (trivial >= 0)[:, None]
     sym = jnp.where(is_triv, trivial[:, None], sym)
     ln = jnp.where(is_triv, 0, ln)
@@ -63,6 +64,11 @@ def _flat_decode_window(flat, trivial, window15):
 
 
 LIT_UNROLL = 8  # literal batches decoded per loop iteration (see below)
+
+
+def _mk_search(lengths):
+    return build_search(lengths, C.HUFFMAN_NUM_CODE_LENGTH,
+                        C.HUFFMAN_TABLE_BITS)
 
 
 def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
@@ -355,9 +361,19 @@ def _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size: int):
                     jnp.clip(pos - dst, 0, S - 1))
 
     iters = max(1, (S - 1).bit_length())
-    for _ in range(iters):
-        chase = jnp.take_along_axis(src, jnp.clip(src, 0, S - 1), axis=1)
-        src = jnp.where(src < S, chase, src)
+
+    def chase_body(c):
+        i, src = c
+        nxt = jnp.take_along_axis(src, jnp.clip(src, 0, S - 1), axis=1)
+        return i + 1, jnp.where(src < S, nxt, src)
+
+    def chase_cond(c):
+        i, src = c
+        # early exit: copy chains usually resolve in far fewer than
+        # log2(S) doublings
+        return (i < iters) & jnp.any(src < S)
+
+    _, src = jax.lax.while_loop(chase_cond, chase_body, (jnp.int32(0), src))
 
     lit_idx = jnp.clip(src - S, 0, litbuf.shape[1] - 1)
     out = jnp.take_along_axis(litbuf, lit_idx, axis=1)
@@ -378,8 +394,8 @@ def _stage_symbols(words: jnp.ndarray, in_sizes: jnp.ndarray,
 
     ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a = _phase_a(
         words, lane_bp,
-        (build_flat(icp_len), icp_triv), (build_flat(dst_len), dst_triv),
-        (build_flat(lit_len), lit_triv), npostfix, ndirect,
+        (_mk_search(icp_len), icp_triv), (_mk_search(dst_len), dst_triv),
+        (_mk_search(lit_len), lit_triv), npostfix, ndirect,
         page_size, max_cmds)
     return (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
             npostfix, ndirect, isdelta)
