@@ -17,9 +17,19 @@ max_compressed_size = C.max_compressed_size
 
 def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
            dc_params: DataConditionParams | None = None,
-           max_chain: int = 64) -> bytes:
+           max_chain: int = 64, feedback=None) -> bytes:
+    """Compress with the native C++ encoder when possible (page-parallel),
+    else the Python reference encoder. `feedback(type, text) -> bool`
+    mirrors BROTLIG_Feedback_Proc; returning True aborts."""
+    if dc_params is None and feedback is None:
+        try:
+            from . import native
+            if native.available() and native.has_encoder():
+                return native.encode(data, page_size=page_size)
+        except Exception:
+            pass
     return _cpu.encode(data, page_size=page_size, dc_params=dc_params,
-                       max_chain=max_chain)
+                       max_chain=max_chain, feedback=feedback)
 
 
 def decode_cpu(data: bytes, num_threads: int = 0) -> bytes:

@@ -22,6 +22,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import constants as C
+from .errors import (CorruptStream, IncorrectStreamFormat,
+                     TooManyPages)
 
 
 @dataclass
@@ -48,7 +50,7 @@ class StreamHeader:
         if last:
             num_pages += 1
         if num_pages > C.MAX_NUM_PAGES:
-            raise ValueError("input too large for 16-bit page count")
+            raise TooManyPages("input too large for 16-bit page count")
         return cls(num_pages, C.page_size_index(page_size), last,
                    preconditioned)
 
@@ -63,9 +65,9 @@ class StreamHeader:
     def unpack(cls, data: bytes) -> "StreamHeader":
         sid, magic, num_pages, bits = struct.unpack_from("<BBHI", data, 0)
         if sid != (magic ^ 0xFF):
-            raise ValueError("corrupt stream: bad magic")
+            raise CorruptStream("corrupt stream: bad magic")
         if sid != C.STREAM_ID:
-            raise ValueError("incorrect stream format id")
+            raise IncorrectStreamFormat("incorrect stream format id")
         return cls(num_pages, bits & 0x3, (bits >> 2) & ((1 << 18) - 1),
                    bool((bits >> 20) & 1))
 

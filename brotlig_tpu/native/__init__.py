@@ -12,7 +12,8 @@ import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "brotlig_core.cpp")
+_SRCS = [os.path.join(_DIR, "brotlig_core.cpp"),
+         os.path.join(_DIR, "brotlig_encode.cpp")]
 _LIB = os.path.join(_DIR, "libbrotlig_core.so")
 _lock = threading.Lock()
 _lib = None
@@ -21,7 +22,7 @@ _build_error: str | None = None
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-o", _LIB, _SRC, "-lpthread"]
+           "-o", _LIB] + _SRCS + ["-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,7 +33,8 @@ def _load():
             return _lib
         try:
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                           for s in _SRCS)):
                 _build()
             lib = ctypes.CDLL(_LIB)
             lib.blg_decompressed_size.restype = ctypes.c_uint64
@@ -47,6 +49,12 @@ def _load():
             lib.blg_decode_page.argtypes = [
                 ctypes.c_char_p, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+            lib.blg_encode.restype = ctypes.c_int
+            lib.blg_encode.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
+                ctypes.c_int, ctypes.c_int]
             _lib = lib
         except Exception as e:  # toolchain missing / build failure
             _build_error = str(e)
@@ -81,6 +89,29 @@ def decode(data: bytes, num_threads: int = 0) -> bytes:
         raise NotImplementedError("preconditioned stream")
     if rc != 0:
         raise ValueError(f"corrupt stream (native decoder rc={rc})")
+    return bytes(bytearray(out)[: out_size.value])
+
+
+def has_encoder() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "blg_encode")
+
+
+def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
+           num_threads: int = 0) -> bytes:
+    """Compress a container with the native encoder (no preconditioning)."""
+    from ..format import constants as C
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native encoder unavailable: {_build_error}")
+    cap = C.max_compressed_size(len(data), page_size=page_size)
+    out = (ctypes.c_uint8 * cap)()
+    out_size = ctypes.c_uint64(0)
+    rc = lib.blg_encode(data, len(data), out, cap,
+                        ctypes.byref(out_size), page_size, max_chain,
+                        num_threads)
+    if rc != 0:
+        raise ValueError(f"native encode failed (rc={rc})")
     return bytes(bytearray(out)[: out_size.value])
 
 

@@ -1,0 +1,643 @@
+// Native CPU Brotli-G encoder: greedy-lazy LZ77 parse + optimal
+// depth-limited Huffman (package-merge) + the exact Brotli-G page
+// serialization (32-lane round-robin swizzle, self-describing size table).
+//
+// Fresh implementation against the format (SURVEY.md Appendix A; parity
+// refs: src/encoder/PageEncoder.cpp, src/encoder/BrotligHuffman.cpp,
+// src/common/BrotligSwizzler.cpp). Multithreaded page-parallel with an
+// atomic work index like the reference worker pool (BrotligEncoder.cpp).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kNumStreams = 32;
+constexpr uint32_t kNumCommandSymbols = 704;
+constexpr uint32_t kSentinel = 704;
+constexpr uint32_t kCmdAlphabet = 728;
+constexpr uint32_t kDistAlphabet = 544;
+constexpr uint32_t kLitAlphabet = 256;
+constexpr int kMaxDepth = 15;
+
+constexpr uint32_t kInsBase[24] = {0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26,
+                                   34, 50, 66, 98, 130, 194, 322, 578,
+                                   1090, 2114, 6210, 22594};
+constexpr uint32_t kInsExtra[24] = {0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3,
+                                    4, 4, 5, 5, 6, 7, 8, 9, 10, 12, 14, 24};
+constexpr uint32_t kCpyBase[24] = {2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18,
+                                   22, 30, 38, 54, 70, 102, 134, 198, 326,
+                                   582, 1094, 2118};
+constexpr uint32_t kCpyExtra[24] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3,
+                                    3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 24};
+constexpr int kClOrder[18] = {1, 2, 3, 4, 0, 5, 17, 6, 16,
+                              7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+inline uint32_t BitLength(uint32_t x) { return x ? 32 - __builtin_clz(x) : 0; }
+
+inline uint32_t ReverseBits(uint32_t v, uint32_t n) {
+  uint32_t r = 0;
+  for (uint32_t i = 0; i < n; ++i) {
+    r = (r << 1) | (v & 1);
+    v >>= 1;
+  }
+  return r;
+}
+
+uint32_t GetInsertCode(uint32_t len) {
+  if (len < 6) return len;
+  if (len < 130) {
+    uint32_t nbits = BitLength(len - 2) - 2;
+    return (nbits << 1) + ((len - 2) >> nbits) + 2;
+  }
+  if (len < 2114) return BitLength(len - 66) + 9;
+  if (len < 6210) return 21;
+  if (len < 22594) return 22;
+  return 23;
+}
+
+uint32_t GetCopyCode(uint32_t len) {
+  if (len < 10) return len - 2;
+  if (len < 134) {
+    uint32_t nbits = BitLength(len - 6) - 2;
+    return (nbits << 1) + ((len - 6) >> nbits) + 4;
+  }
+  if (len < 2118) return BitLength(len - 70) + 11;
+  return 23;
+}
+
+uint32_t CombineLengthCodes(uint32_t ins, uint32_t cpy, bool use_last) {
+  uint32_t bits64 = (cpy & 7) | ((ins & 7) << 3);
+  if (use_last && ins < 8 && cpy < 16)
+    return cpy < 8 ? bits64 : (bits64 | 64);
+  uint32_t offset = 2 * ((cpy >> 3) + 3 * (ins >> 3));
+  offset = (offset << 5) + 0x40 + ((0x520D40 >> offset) & 0xC0);
+  return offset | bits64;
+}
+
+// --- LSB bit writer ---------------------------------------------------------
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  size_t bitpos = 0;
+  void Write(uint32_t nbits, uint64_t bits) {
+    if (!nbits) return;
+    size_t need = (bitpos + nbits + 7) / 8;
+    if (need > buf.size()) buf.resize(need + 64, 0);
+    bits &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+    uint64_t acc = bits << (bitpos & 7);
+    size_t idx = bitpos >> 3;
+    size_t nbytes = ((bitpos & 7) + nbits + 7) / 8;
+    for (size_t k = 0; k < nbytes; ++k) buf[idx + k] |= (acc >> (8 * k));
+    bitpos += nbits;
+  }
+  size_t NBytes() const { return (bitpos + 7) / 8; }
+  void AlignDword() {
+    size_t rem = bitpos % 32;
+    if (rem) Write(32 - rem, 0);
+  }
+};
+
+// --- package-merge depth-limited code lengths -------------------------------
+void PackageMerge(const uint32_t* hist, uint32_t n, int max_depth,
+                  uint8_t* lens) {
+  std::memset(lens, 0, n);
+  std::vector<uint32_t> used;
+  for (uint32_t i = 0; i < n; ++i)
+    if (hist[i]) used.push_back(i);
+  if (used.empty()) return;
+  if (used.size() == 1) {
+    lens[used[0]] = 1;
+    return;
+  }
+  struct Item {
+    uint64_t w;
+    std::vector<uint32_t> leaves;  // leaf ids
+  };
+  std::vector<Item> leaves(used.size());
+  for (size_t i = 0; i < used.size(); ++i)
+    leaves[i] = {hist[used[i]], {static_cast<uint32_t>(i)}};
+  auto byw = [](const Item& a, const Item& b) { return a.w < b.w; };
+  std::vector<Item> prev;
+  for (int d = 0; d < max_depth - 1; ++d) {
+    std::vector<Item> items = leaves;
+    items.insert(items.end(), prev.begin(), prev.end());
+    std::stable_sort(items.begin(), items.end(), byw);
+    prev.clear();
+    for (size_t k = 0; k + 1 < items.size(); k += 2) {
+      Item m{items[k].w + items[k + 1].w, items[k].leaves};
+      m.leaves.insert(m.leaves.end(), items[k + 1].leaves.begin(),
+                      items[k + 1].leaves.end());
+      prev.push_back(std::move(m));
+    }
+  }
+  std::vector<Item> items = leaves;
+  items.insert(items.end(), prev.begin(), prev.end());
+  std::stable_sort(items.begin(), items.end(), byw);
+  std::vector<uint32_t> counts(used.size(), 0);
+  size_t take = 2 * used.size() - 2;
+  for (size_t k = 0; k < take && k < items.size(); ++k)
+    for (uint32_t leaf : items[k].leaves) counts[leaf]++;
+  for (size_t i = 0; i < used.size(); ++i)
+    lens[used[i]] = static_cast<uint8_t>(counts[i]);
+}
+
+void CanonicalCodesLsb(const uint8_t* lens, uint32_t n, uint16_t* codes) {
+  uint32_t blc[16] = {0};
+  for (uint32_t i = 0; i < n; ++i) blc[lens[i]]++;
+  blc[0] = 0;
+  uint32_t next[17] = {0};
+  for (int l = 1; l <= 15; ++l) next[l] = (next[l - 1] + blc[l - 1]) << 1;
+  for (uint32_t i = 0; i < n; ++i) {
+    if (!lens[i]) {
+      codes[i] = 0;
+      continue;
+    }
+    codes[i] = static_cast<uint16_t>(ReverseBits(next[lens[i]]++, lens[i]));
+  }
+}
+
+// --- 32-lane swizzler -------------------------------------------------------
+struct Swizzler {
+  BitWriter lanes[kNumStreams];
+  BitWriter header;
+  int cur = 0;
+  void Append(uint32_t n, uint64_t bits, bool sw = false) {
+    lanes[cur].Write(n, bits);
+    if (sw) Switch();
+  }
+  void Switch() { cur = (cur + 1) % kNumStreams; }
+  void Reset() { cur = 0; }
+
+  // size table + serialization (BrotligSwizzler.cpp:68-189 semantics)
+  std::vector<uint8_t> Serialize() {
+    size_t lens_b[kNumStreams], tot = 0, mn = SIZE_MAX;
+    for (int i = 0; i < kNumStreams; ++i) {
+      lens_b[i] = lanes[i].NBytes();
+      tot += lens_b[i];
+      mn = std::min(mn, lens_b[i]);
+    }
+    uint32_t delta_bits = 1;
+    for (int i = 0; i < kNumStreams; ++i) {
+      uint32_t off = static_cast<uint32_t>(lens_b[i] - mn);
+      delta_bits = std::max(delta_bits, off ? BitLength(off) : 1u);
+    }
+    size_t hbits = header.bitpos;
+    size_t est = ((hbits + 7) / 8 + 3) / 4 * 4 + tot;
+    uint32_t base_bits = 0, dbs_bits = 0;
+    for (;;) {
+      uint32_t r_avg = static_cast<uint32_t>((est + 31) / 32);
+      base_bits = BitLength(r_avg);
+      dbs_bits = BitLength(BitLength(static_cast<uint32_t>(est - 1)));
+      size_t nh = hbits + base_bits + dbs_bits + 32ull * delta_bits;
+      size_t nest = ((nh + 7) / 8 + 3) / 4 * 4 + tot;
+      uint32_t nr_avg = static_cast<uint32_t>((nest + 31) / 32);
+      if (BitLength(static_cast<uint32_t>(nest - 1)) ==
+              BitLength(static_cast<uint32_t>(est - 1)) &&
+          BitLength(nr_avg) == base_bits)
+        break;
+      est = nest;
+    }
+    header.Write(base_bits, mn);
+    header.Write(dbs_bits, delta_bits);
+    for (int i = 0; i < kNumStreams; ++i)
+      header.Write(delta_bits, lens_b[i] - mn);
+    header.AlignDword();
+
+    std::vector<uint8_t> out(header.buf.begin(),
+                             header.buf.begin() + header.NBytes());
+    for (int i = 0; i < kNumStreams; ++i)
+      out.insert(out.end(), lanes[i].buf.begin(),
+                 lanes[i].buf.begin() + lens_b[i]);
+    while (out.size() % 4) out.push_back(0);
+    return out;
+  }
+};
+
+// --- Huffman table storage (BrotligHuffman.cpp:262-363 format) --------------
+void StoreTable(const uint32_t* hist, uint32_t alphabet, Swizzler& w,
+                uint16_t* codes, uint8_t* lens) {
+  uint32_t max_bits = BitLength(alphabet - 1);
+  std::vector<uint32_t> used;
+  for (uint32_t i = 0; i < alphabet; ++i)
+    if (hist[i]) used.push_back(i);
+
+  std::memset(lens, 0, alphabet);
+  std::memset(codes, 0, alphabet * sizeof(uint16_t));
+
+  if (used.size() <= 1) {
+    uint32_t sym = used.empty() ? 0 : used[0];
+    w.Append(2, 0);
+    w.Append(2, 1);
+    w.Append(2, 0);
+    w.Append(max_bits, sym, true);
+    w.Reset();
+    return;
+  }
+
+  PackageMerge(hist, alphabet, kMaxDepth, lens);
+  CanonicalCodesLsb(lens, alphabet, codes);
+
+  if (used.size() <= 4) {
+    std::sort(used.begin(), used.end(), [&](uint32_t a, uint32_t b) {
+      return lens[a] != lens[b] ? lens[a] < lens[b] : a < b;
+    });
+    w.Append(2, 1);
+    w.Append(2, static_cast<uint32_t>(used.size()) - 1);
+    if (used.size() == 4) {
+      w.Append(1, lens[used[0]] == 1 ? 1 : 0);
+      w.Append(1, 0);
+    } else {
+      w.Append(2, 0);
+    }
+    for (uint32_t s : used) w.Append(max_bits, s, true);
+    w.Reset();
+    return;
+  }
+
+  // complex: RLE of code lengths (BrotligUtils.cpp:76-228 run splitting)
+  w.Append(2, 2);
+  w.Append(4, 18 - 4);
+  std::vector<uint8_t> rle, extra;
+  {
+    uint32_t prev = 8;
+    uint32_t i = 0;
+    while (i < alphabet) {
+      uint8_t v = lens[i];
+      uint32_t reps = 1;
+      if (i == 0) {
+        rle.push_back(v);
+        extra.push_back(0);
+      } else {
+        uint32_t k = i + 1;
+        while (k < alphabet && lens[k] == v) {
+          ++reps;
+          ++k;
+        }
+        uint32_t r = reps;
+        if (v == 0) {
+          if (r == 11) { rle.push_back(0); extra.push_back(0); --r; }
+          if (r < 3) {
+            while (r--) { rle.push_back(0); extra.push_back(0); }
+          } else {
+            for (;;) {
+              uint32_t c = std::min(r, 10u);
+              r -= c;
+              rle.push_back(17);
+              extra.push_back(static_cast<uint8_t>(c - 3));
+              if (r < 3) break;
+            }
+            while (r--) { rle.push_back(0); extra.push_back(0); }
+          }
+        } else {
+          if (prev != v) { rle.push_back(v); extra.push_back(0); --r; }
+          if (r == 7) { rle.push_back(v); extra.push_back(0); --r; }
+          if (r < 3) {
+            while (r--) { rle.push_back(v); extra.push_back(0); }
+          } else {
+            for (;;) {
+              uint32_t c = std::min(r, 6u);
+              r -= c;
+              rle.push_back(16);
+              extra.push_back(static_cast<uint8_t>(c - 3));
+              if (r < 3) break;
+            }
+            while (r--) { rle.push_back(v); extra.push_back(0); }
+          }
+        }
+      }
+      prev = v;
+      i += reps;
+    }
+  }
+  uint32_t rle_hist[18] = {0};
+  for (uint8_t c : rle) rle_hist[c]++;
+  uint8_t rle_lens[18];
+  uint16_t rle_codes[18];
+  PackageMerge(rle_hist, 18, 9, rle_lens);
+  CanonicalCodesLsb(rle_lens, 18, rle_codes);
+  for (int i = 0; i < 18; ++i) w.Append(5, rle_lens[kClOrder[i]], true);
+  w.Reset();
+  for (size_t i = 0; i < rle.size(); ++i) {
+    uint8_t c = rle[i];
+    w.Append(rle_lens[c], rle_codes[c]);
+    if (c == 16)
+      w.Append(2, extra[i], true);
+    else if (c == 17)
+      w.Append(3, extra[i], true);
+    else
+      w.Switch();
+  }
+  w.Reset();
+}
+
+// --- LZ77 greedy-lazy matcher ----------------------------------------------
+struct Cmd {
+  uint32_t ins, cpy, dist;
+  uint32_t prefix;
+  int32_t dsym;  // -1 = none stored
+  uint32_t dbits, dval;
+};
+
+constexpr int kHashBits = 16;
+constexpr uint32_t kHashMul = 0x1E35A7BDu;
+
+void FindMatches(const uint8_t* d, uint32_t n, int max_chain,
+                 std::vector<Cmd>& cmds, uint32_t& tail) {
+  std::vector<int32_t> head(1 << kHashBits, -1);
+  std::vector<int32_t> prev(n ? n : 1, -1);
+  auto hash4 = [&](uint32_t pos) {
+    uint32_t v;
+    std::memcpy(&v, d + pos, 4);
+    return (v * kHashMul) >> (32 - kHashBits);
+  };
+  auto insert = [&](uint32_t pos) {
+    if (pos + 4 <= n) {
+      uint32_t h = hash4(pos);
+      prev[pos] = head[h];
+      head[h] = static_cast<int32_t>(pos);
+    }
+  };
+  auto best = [&](uint32_t pos, uint32_t& blen, uint32_t& bdist) {
+    blen = 0;
+    bdist = 0;
+    if (pos + 4 > n) return;
+    int32_t cand = head[hash4(pos)];
+    int chain = max_chain;
+    uint32_t limit = n - pos;
+    while (cand >= 0 && chain-- > 0) {
+      const uint8_t* a = d + cand;
+      const uint8_t* b = d + pos;
+      uint32_t l = 0;
+      while (l < limit && a[l] == b[l]) ++l;
+      if (l >= 4 && l > blen) {
+        blen = l;
+        bdist = pos - cand;
+      }
+      cand = prev[cand];
+    }
+  };
+
+  uint32_t pos = 0, anchor = 0;
+  while (pos < n) {
+    uint32_t blen, bdist;
+    best(pos, blen, bdist);
+    if (blen >= 4) {
+      insert(pos);
+      uint32_t nlen = 0, ndist = 0;
+      if (pos + 1 < n) best(pos + 1, nlen, ndist);
+      if (nlen > blen + 1) {
+        ++pos;
+        continue;
+      }
+      cmds.push_back({pos - anchor, blen, bdist, 0, -1, 0, 0});
+      uint32_t end = pos + blen;
+      ++pos;
+      while (pos < end) insert(pos++);
+      anchor = end;
+    } else {
+      insert(pos++);
+    }
+  }
+  tail = n - anchor;
+}
+
+void EncodeDistance(uint32_t dist, uint32_t& sym, uint32_t& nbits,
+                    uint32_t& extra) {
+  // npostfix=0, ndirect=0
+  uint32_t dd = dist - 1;
+  uint32_t hval = dd;
+  nbits = BitLength(hval + 4) - 2;
+  uint32_t b = ((hval + 4) >> nbits) & 1;
+  extra = hval + 4 - ((2 + b) << nbits);
+  sym = 16 + ((2 * (nbits - 1) + b));
+  nbits = nbits;
+}
+
+// Encode one page; returns empty vector if the page should be stored raw.
+std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
+                                bool is_last, int max_chain) {
+  std::vector<Cmd> cmds;
+  uint32_t tail = 0;
+  FindMatches(data, n, max_chain, cmds, tail);
+
+  // compressibility gate (PageEncoder.cpp:60-85 semantics)
+  {
+    uint64_t nlits = tail;
+    for (auto& c : cmds) nlits += c.ins;
+    uint64_t ncmds = cmds.size() + (tail ? 1 : 0) + 1;
+    if (n <= 2) return {};
+    if (ncmds < (n >> 8) + 2 && nlits > 0.99 * n) {
+      uint32_t h[256] = {0};
+      uint32_t t = (n + 12) / 13;
+      for (uint32_t i = 0; i < t; ++i) h[data[i * 13]]++;
+      double total = t, bits = 0;
+      for (int i = 0; i < 256; ++i)
+        if (h[i]) bits -= h[i] * std::log2(h[i] / total);
+      if (bits < total) bits = total;
+      if (bits > n * 7.92 / 13.0) return {};
+    }
+  }
+
+  // distance codes with ring semantics
+  uint32_t ring[4] = {4, 11, 15, 16};
+  for (auto& c : cmds) {
+    uint32_t sym = UINT32_MAX, nbits = 0, extra = 0;
+    if (c.dist == ring[0]) sym = 0;
+    else if (c.dist == ring[1]) sym = 1;
+    else if (c.dist == ring[2]) sym = 2;
+    else if (c.dist == ring[3]) sym = 3;
+    else EncodeDistance(c.dist, sym, nbits, extra);
+    uint32_t ic = GetInsertCode(c.ins), cc = GetCopyCode(c.cpy);
+    bool use_last = (sym == 0 && ic < 8 && cc < 16);
+    c.prefix = CombineLengthCodes(ic, cc, use_last);
+    c.dsym = use_last ? -1 : static_cast<int32_t>(sym);
+    c.dbits = use_last ? 0 : nbits;
+    c.dval = use_last ? 0 : extra;
+    if (sym > 0 && sym != UINT32_MAX) {
+      ring[3] = ring[2];
+      ring[2] = ring[1];
+      ring[1] = ring[0];
+      ring[0] = c.dist;
+    }
+  }
+  if (tail)
+    cmds.push_back({tail, 0, 0, kNumCommandSymbols + GetInsertCode(tail),
+                    -1, 0, 0});
+  cmds.push_back({0, 0, 0, kSentinel, -1, 0, 0});
+
+  // histograms + literal queue
+  std::vector<uint32_t> hc(kCmdAlphabet, 0), hd(kDistAlphabet, 0),
+      hl(kLitAlphabet, 0);
+  std::vector<uint8_t> litq;
+  litq.reserve(n);
+  uint32_t pos = 0;
+  for (auto& c : cmds) {
+    hc[c.prefix]++;
+    if (c.cpy && c.prefix >= 128 && c.prefix < kNumCommandSymbols &&
+        c.dsym >= 0)
+      hd[c.dsym]++;
+    for (uint32_t i = 0; i < c.ins; ++i) {
+      hl[data[pos]]++;
+      litq.push_back(data[pos++]);
+    }
+    pos += c.cpy;
+  }
+  uint8_t most_freq =
+      static_cast<uint8_t>(std::max_element(hl.begin(), hl.end()) -
+                           hl.begin());
+
+  Swizzler w;
+  std::vector<uint16_t> ccodes(kCmdAlphabet), dcodes(kDistAlphabet),
+      lcodes(kLitAlphabet);
+  std::vector<uint8_t> clens(kCmdAlphabet), dlens(kDistAlphabet),
+      llens(kLitAlphabet);
+  StoreTable(hc.data(), kCmdAlphabet, w, ccodes.data(), clens.data());
+  StoreTable(hd.data(), kDistAlphabet, w, dcodes.data(), dlens.data());
+  StoreTable(hl.data(), kLitAlphabet, w, lcodes.data(), llens.data());
+
+  // round-robin serialization (PageEncoder.cpp:475-540)
+  size_t total = cmds.size();
+  size_t nrounds = (total + kNumStreams - 1) / kNumStreams;
+  size_t eff = std::min(total, static_cast<size_t>(kNumStreams));
+  size_t prev_tail = 0, lq = 0, ci = 0;
+  for (size_t r = 0; r < nrounds; ++r) {
+    size_t litcount = 0;
+    int bs = 0;
+    while (bs < kNumStreams) {
+      const Cmd& c = cmds[ci++];
+      litcount += c.ins;
+      w.Append(clens[c.prefix], ccodes[c.prefix]);
+      if (c.prefix <= kNumCommandSymbols) {
+        uint32_t ic = GetInsertCode(c.ins);
+        uint32_t cc = c.cpy ? GetCopyCode(c.cpy) : 0;
+        uint64_t iv = c.ins - kInsBase[ic];
+        uint64_t cv = (cc > 1) ? c.cpy - kCpyBase[cc] : c.cpy;
+        w.Append(kInsExtra[ic] + kCpyExtra[cc],
+                 (cv << kInsExtra[ic]) | iv);
+      } else {
+        uint32_t ic = c.prefix - kNumCommandSymbols;
+        w.Append(kInsExtra[ic], c.ins - kInsBase[ic]);
+      }
+      if (c.ins == 0 && c.cpy == 0) break;  // sentinel
+      if (c.cpy && c.prefix >= 128 && c.prefix < kNumCommandSymbols) {
+        w.Append(dlens[c.dsym], dcodes[c.dsym]);
+        w.Append(c.dbits, c.dval);
+      }
+      ++bs;
+      w.Switch();
+    }
+    w.Reset();
+
+    size_t aclit = litcount > prev_tail ? litcount - prev_tail : 0;
+    size_t mult = (aclit + eff - 1) / eff;
+    size_t rlit = eff * mult;
+    prev_tail = rlit + prev_tail - litcount;
+    while (rlit--) {
+      uint8_t b;
+      if (lq >= litq.size()) {
+        if (r + 1 < nrounds || is_last)
+          b = most_freq;
+        else
+          break;
+      } else {
+        b = litq[lq++];
+      }
+      w.Append(llens[b], lcodes[b]);
+      w.Switch();
+    }
+    w.Reset();
+  }
+
+  w.header.Write(2, 0);  // npostfix
+  w.header.Write(4, 0);  // ndirect_msb
+  w.header.Write(1, 0);  // isdelta
+  w.header.Write(1, 0);
+  std::vector<uint8_t> out = w.Serialize();
+  if (out.size() >= n) return {};
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a whole container (no preconditioning). Returns 0 on success.
+int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
+               uint64_t dst_cap, uint64_t* out_size, uint32_t page_size,
+               int max_chain, int num_threads) {
+  if (page_size < 32768 || page_size > 131072 ||
+      (page_size & (page_size - 1)))
+    return 1;
+  uint32_t num_pages = static_cast<uint32_t>((n + page_size - 1) / page_size);
+  if (num_pages > 65535) return 1;
+
+  // header
+  uint32_t last = static_cast<uint32_t>(n - uint64_t(n / page_size) * page_size);
+  uint32_t psi = BitLength(page_size / 32768) - 1;
+  if (dst_cap < 8) return 3;
+  dst[0] = 5;
+  dst[1] = 5 ^ 0xFF;
+  dst[2] = num_pages & 0xFF;
+  dst[3] = (num_pages >> 8) & 0xFF;
+  uint32_t bits = psi | (last << 2);
+  std::memcpy(dst + 4, &bits, 4);
+  if (n == 0) {
+    *out_size = 8;
+    return 0;
+  }
+
+  std::vector<std::vector<uint8_t>> pages(num_pages);
+  std::atomic<uint32_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      uint32_t i = next.fetch_add(1);
+      if (i >= num_pages) break;
+      uint64_t off = uint64_t(i) * page_size;
+      uint32_t pn = static_cast<uint32_t>(
+          std::min<uint64_t>(page_size, n - off));
+      bool is_last = (i == num_pages - 1);
+      std::vector<uint8_t> comp =
+          EncodePage(src + off, pn, is_last, max_chain);
+      if (comp.empty() || comp.size() >= pn)
+        pages[i].assign(src + off, src + off + pn);  // raw
+      else
+        pages[i] = std::move(comp);
+    }
+  };
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min(nt, 128));
+  if (nt == 1 || num_pages < 2) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  // page table + payload
+  uint64_t posn = 8 + 4ull * num_pages;
+  if (posn > dst_cap) return 3;
+  uint32_t* table = reinterpret_cast<uint32_t*>(dst + 8);
+  uint64_t off = 0;
+  for (uint32_t i = 0; i < num_pages; ++i) {
+    table[i] = static_cast<uint32_t>(off);
+    off += pages[i].size();
+  }
+  table[0] = static_cast<uint32_t>(pages[num_pages - 1].size());
+  for (uint32_t i = 0; i < num_pages; ++i) {
+    if (posn + pages[i].size() > dst_cap) return 3;
+    std::memcpy(dst + posn, pages[i].data(), pages[i].size());
+    posn += pages[i].size();
+  }
+  *out_size = posn;
+  return 0;
+}
+
+}  // extern "C"

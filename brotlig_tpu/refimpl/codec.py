@@ -7,6 +7,7 @@ per-page encode with raw fallback, stream header + page table assembly.
 from __future__ import annotations
 
 from ..format import constants as C
+from ..format.errors import Aborted, MessageType, PageSizeError
 from ..format.headers import (PreconditionHeader, StreamHeader,
                               pack_page_table, unpack_page_table)
 from ..format.precondition import (DataConditionParams, condition,
@@ -18,10 +19,15 @@ from .page_encoder import encode_page
 
 def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
            dc_params: DataConditionParams | None = None,
-           max_chain: int = 64) -> bytes:
-    """Compress `data` into a Brotli-G container."""
+           max_chain: int = 64, feedback=None) -> bytes:
+    """Compress `data` into a Brotli-G container.
+
+    `feedback(message_type, text) -> bool` mirrors BROTLIG_Feedback_Proc
+    (BrotligCommon.h:92): called with per-page progress; returning True
+    aborts (raises Aborted).
+    """
     if not (C.MIN_PAGE_SIZE <= page_size <= C.MAX_PAGE_SIZE):
-        raise ValueError("page size out of range")
+        raise PageSizeError("page size out of range")
     input_size = len(data)
 
     precondition = dc_params is not None and dc_params.precondition
@@ -56,6 +62,10 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
             pages.append(work[start: start + page_size])
         else:
             pages.append(compressed)
+        if feedback is not None:
+            progress = 100.0 * (i + 1) / num_pages
+            if feedback(MessageType.PROGRESS, f"{progress}"):
+                raise Aborted("encode aborted by feedback callback")
 
     out = bytearray()
     out += header.pack()

@@ -57,3 +57,56 @@ class TestNativeDecode:
         data = make_data("text", 80_000, seed=4)
         blob = brotlig_tpu.encode(data)
         assert brotlig_tpu.decode(blob, backend="cpu") == data
+
+
+class TestNativeEncode:
+    pytestmark = pytest.mark.skipif(
+        not native.available() or not native.has_encoder(),
+        reason="no native encoder")
+
+    @pytest.mark.parametrize("kind,n", [
+        ("text", 300_000), ("repetitive", 150_000), ("zeros", 131072),
+        ("structured", 100_000), ("random", 70_000), ("text", 0),
+        ("text", 1), ("text", 65536),
+    ])
+    def test_native_encode_roundtrips_everywhere(self, kind, n):
+        from brotlig_tpu.refimpl.codec import decode as py_decode
+        data = make_data(kind, n, seed=n + 7) if n else b""
+        blob = native.encode(data)
+        assert native.decode(blob) == data
+        assert py_decode(blob) == data
+
+    def test_native_encode_matches_python_ratio(self):
+        from brotlig_tpu.refimpl.codec import encode as py_encode
+        data = make_data("text", 150_000, seed=11)
+        assert len(native.encode(data)) == len(py_encode(data))
+
+    def test_tpu_decodes_native_streams(self):
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        data = make_data("text", 150_000, seed=12)
+        assert decode_stream_jax(native.encode(data)) == data
+
+    def test_api_uses_native_encoder(self):
+        import brotlig_tpu
+        data = make_data("text", 90_000, seed=13)
+        blob = brotlig_tpu.encode(data)
+        assert brotlig_tpu.decode(blob, backend="cpu") == data
+
+    def test_page_size_variants(self):
+        data = make_data("text", 200_000, seed=14)
+        for ps in (32768, 65536, 131072):
+            assert native.decode(native.encode(data, page_size=ps)) == data
+
+
+class TestFeedback:
+    def test_progress_and_abort(self):
+        from brotlig_tpu.refimpl.codec import encode as py_encode
+        from brotlig_tpu.format.errors import Aborted, MessageType
+        data = make_data("text", 100_000, seed=15)
+        calls = []
+        py_encode(data, page_size=32768,
+                  feedback=lambda t, m: calls.append((t, m)) and False)
+        assert len(calls) == 4  # 4 pages
+        assert all(t == MessageType.PROGRESS for t, _ in calls)
+        with pytest.raises(Aborted):
+            py_encode(data, page_size=32768, feedback=lambda t, m: True)
