@@ -450,8 +450,14 @@ def max_cmds_for(page_size: int) -> int:
     return (n + NBS - 1) // NBS * NBS
 
 
-def decode_stream_jax(data: bytes) -> bytes:
-    """Decode a full Brotli-G container with the batched TPU path."""
+def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
+    """Decode a full Brotli-G container with the batched TPU path.
+
+    Pages are processed in fixed-size device batches of `batch_pages`
+    (padded on the last chunk so every call reuses one compiled program);
+    dispatch is async, so host staging of chunk k+1 overlaps device decode
+    of chunk k. This is the single-chip path for multi-GB bundles
+    (BASELINE config 4)."""
     from ..format.headers import StreamHeader, PreconditionHeader, \
         unpack_page_table
     from ..format.precondition import (DataConditionParams,
@@ -502,15 +508,34 @@ def decode_stream_jax(data: bytes) -> bytes:
     if comp_idx:
         W = page_size // 4 + 8
         mc = max_cmds_for(page_size)
-        words, in_sizes = _batch_pages(payload, offsets, sizes, comp_idx, W)
-        pages_out, isdelta = decode_pages(words, in_sizes, page_size, mc)
-        pages_np = np.asarray(pages_out)
-        isdelta_np = np.asarray(isdelta)
-        for row, i in enumerate(comp_idx):
-            chunk = pages_np[row, : page_out_sizes[i]].tobytes()
-            if isdelta_np[row] and dc_params is not None:
-                chunk = delta_decode_page(chunk, i * page_size, dc_params)
-            out[i * page_size: i * page_size + page_out_sizes[i]] = chunk
+        # chunked batches: pad the final chunk to batch_pages so one
+        # compiled program serves every chunk; dummy rows reuse page 0
+        in_flight: list = []
+
+        def drain(slot):
+            group, pages_out, isdelta = slot
+            pages_np = np.asarray(pages_out)
+            isdelta_np = np.asarray(isdelta)
+            for row, i in enumerate(group):
+                chunk = pages_np[row, : page_out_sizes[i]].tobytes()
+                if isdelta_np[row] and dc_params is not None:
+                    chunk = delta_decode_page(chunk, i * page_size,
+                                              dc_params)
+                out[i * page_size: i * page_size + page_out_sizes[i]] = \
+                    chunk
+
+        for c0 in range(0, len(comp_idx), batch_pages):
+            group = comp_idx[c0: c0 + batch_pages]
+            rows = group + [group[0]] * (batch_pages - len(group)) \
+                if len(comp_idx) > batch_pages else group
+            words, in_sizes = _batch_pages(payload, offsets, sizes, rows, W)
+            pages_out, isdelta = decode_pages(words, in_sizes,
+                                              page_size, mc)
+            in_flight.append((group, pages_out, isdelta))
+            if len(in_flight) > 2:  # bounded pipeline: overlap staging
+                drain(in_flight.pop(0))
+        for slot in in_flight:
+            drain(slot)
 
     if dc_params is not None:
         return decondition(bytes(out), dc_params)

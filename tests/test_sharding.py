@@ -38,3 +38,39 @@ class TestShardedDecode:
         assert pad_batch(10, 8) == 16
         assert pad_batch(8, 8) == 8
         assert pad_batch(1, 8) == 8
+
+
+class TestChunkedBundle:
+    def test_chunked_equals_unchunked(self):
+        """Many pages decoded in small fixed batches == oracle."""
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        data = make_data("text", 9 * C.MIN_PAGE_SIZE + 777, seed=21)
+        blob = encode(data, page_size=C.MIN_PAGE_SIZE)
+        assert decode_stream_jax(blob, batch_pages=4) == data
+
+    def test_chunked_with_raw_pages(self):
+        import numpy as np
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        rng = np.random.default_rng(0)
+        parts = []
+        for i in range(3):
+            parts.append(make_data("text", C.MIN_PAGE_SIZE, seed=i))
+            parts.append(rng.integers(0, 256, C.MIN_PAGE_SIZE,
+                                      dtype=np.uint8).tobytes())
+        data = b"".join(parts)
+        blob = encode(data, page_size=C.MIN_PAGE_SIZE)
+        assert decode_stream_jax(blob, batch_pages=2) == data
+
+
+class TestArchives:
+    def test_multi_archive_roundtrip(self):
+        from brotlig_tpu.parallel.runtime import (decode_archives,
+                                                  encode_archives)
+        datas = [make_data("text", 40_000 + i * 1000, seed=30 + i)
+                 for i in range(3)]
+        blobs = encode_archives(datas)
+        assert sorted(blobs) == [0, 1, 2]
+        outs = decode_archives([blobs[i] for i in range(3)],
+                               batch_pages=2)
+        for i in range(3):
+            assert outs[i] == datas[i]
