@@ -17,10 +17,20 @@ max_compressed_size = C.max_compressed_size
 
 def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
            dc_params: DataConditionParams | None = None,
-           max_chain: int = 64, feedback=None) -> bytes:
-    """Compress with the native C++ encoder when possible (page-parallel),
-    else the Python reference encoder. `feedback(type, text) -> bool`
-    mirrors BROTLIG_Feedback_Proc; returning True aborts."""
+           max_chain: int = 64, feedback=None,
+           backend: str = "auto") -> bytes:
+    """Compress a Brotli-G container.
+
+    backend: "cpu" (native C++ page-parallel encoder, best ratio),
+    "tpu" (device bulk match finding + native serialization), or "auto"
+    (cpu). `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc;
+    returning True aborts."""
+    if backend == "tpu":
+        if dc_params is not None:
+            raise NotImplementedError(
+                "preconditioned TPU encode lands in a later round")
+        from .ops.encode import encode_stream_tpu
+        return encode_stream_tpu(data, page_size=page_size)
     if dc_params is None and feedback is None:
         try:
             from . import native

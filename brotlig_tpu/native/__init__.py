@@ -11,6 +11,8 @@ import os
 import subprocess
 import threading
 
+from numpy import ctypeslib as np_ctypeslib
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "brotlig_core.cpp"),
          os.path.join(_DIR, "brotlig_encode.cpp")]
@@ -55,6 +57,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
                 ctypes.c_int, ctypes.c_int]
+            u32p = np_ctypeslib.ndpointer(dtype="uint32", flags="C")
+            lib.blg_encode_page_cmds.restype = ctypes.c_int
+            lib.blg_encode_page_cmds.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+                u32p, u32p, u32p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64)]
             _lib = lib
         except Exception as e:  # toolchain missing / build failure
             _build_error = str(e)
@@ -112,6 +121,30 @@ def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
                         num_threads)
     if rc != 0:
         raise ValueError(f"native encode failed (rc={rc})")
+    return bytes(bytearray(out)[: out_size.value])
+
+
+def encode_page_cmds(data: bytes, is_last: bool, ins, cpy, dist) -> bytes:
+    """Serialize one page from external (ins, cpy, dist) command arrays.
+
+    Returns the compressed page, or the raw page bytes when incompressible
+    (detected by the caller via len == page size)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native encoder unavailable: {_build_error}")
+    n = len(data)
+    cap = max(2 * n + 64, 1024)
+    out = (ctypes.c_uint8 * cap)()
+    out_size = ctypes.c_uint64(0)
+    ins = np.ascontiguousarray(ins, dtype=np.uint32)
+    cpy = np.ascontiguousarray(cpy, dtype=np.uint32)
+    dist = np.ascontiguousarray(dist, dtype=np.uint32)
+    rc = lib.blg_encode_page_cmds(data, n, int(is_last), ins, cpy, dist,
+                                  len(ins), out, cap,
+                                  ctypes.byref(out_size))
+    if rc != 0:
+        raise ValueError(f"native page encode failed (rc={rc})")
     return bytes(bytearray(out)[: out_size.value])
 
 

@@ -418,13 +418,13 @@ void EncodeDistance(uint32_t dist, uint32_t& sym, uint32_t& nbits,
   nbits = nbits;
 }
 
-// Encode one page; returns empty vector if the page should be stored raw.
-std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
-                                bool is_last, int max_chain) {
-  std::vector<Cmd> cmds;
-  uint32_t tail = 0;
-  FindMatches(data, n, max_chain, cmds, tail);
-
+// Serialize one page from raw (ins,cpy,dist) commands covering a prefix of
+// the page; the uncovered tail becomes the insert-only command. Returns an
+// empty vector if the page should be stored raw.
+std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
+                                            bool is_last,
+                                            std::vector<Cmd>& cmds,
+                                            uint32_t tail) {
   // compressibility gate (PageEncoder.cpp:60-85 semantics)
   {
     uint64_t nlits = tail;
@@ -562,9 +562,50 @@ std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
   return out;
 }
 
+std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
+                                bool is_last, int max_chain) {
+  std::vector<Cmd> cmds;
+  uint32_t tail = 0;
+  FindMatches(data, n, max_chain, cmds, tail);
+  return EncodePageFromCommands(data, n, is_last, cmds, tail);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Serialize one page from externally-found commands (e.g. the TPU bulk
+// matcher). The page is stored raw when not compressible (signalled by
+// *out_size == n). Returns 0 on success.
+int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
+                         const uint32_t* ins, const uint32_t* cpy,
+                         const uint32_t* dist, uint64_t ncmds, uint8_t* dst,
+                         uint64_t cap, uint64_t* out_size) {
+  std::vector<Cmd> cmds;
+  cmds.reserve(ncmds);
+  uint64_t covered = 0;
+  for (uint64_t i = 0; i < ncmds; ++i) {
+    cmds.push_back({ins[i], cpy[i], dist[i], 0, -1, 0, 0});
+    covered += ins[i] + cpy[i];
+    if (covered > n) return 1;
+    if (cpy[i] && (dist[i] == 0 || dist[i] > covered - cpy[i] ||
+                   cpy[i] < 2))
+      return 1;
+  }
+  uint32_t tail = static_cast<uint32_t>(n - covered);
+  std::vector<uint8_t> comp = EncodePageFromCommands(
+      data, static_cast<uint32_t>(n), is_last != 0, cmds, tail);
+  if (comp.empty() || comp.size() >= n) {
+    if (n > cap) return 3;
+    std::memcpy(dst, data, n);
+    *out_size = n;
+    return 0;
+  }
+  if (comp.size() > cap) return 3;
+  std::memcpy(dst, comp.data(), comp.size());
+  *out_size = comp.size();
+  return 0;
+}
 
 // Encode a whole container (no preconditioning). Returns 0 on success.
 int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,

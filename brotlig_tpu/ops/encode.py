@@ -1,0 +1,238 @@
+"""TPU bulk-greedy LZ77 match finding (the encode-side compute kernel).
+
+The reference encoder's hot loop is sequential Zopfli match finding
+(PageEncoder.cpp:87-147). A sequential parse cannot map to wide vectors, so
+this is a from-scratch parallel formulation:
+
+1. candidate generation — group equal 4-byte hashes with one stable sort
+   per page; each position's candidates are its nearest predecessors in the
+   sorted order (bulk gathers, no hash chains);
+2. match verification/length — vectorized LCP over 4-byte words with a
+   byte-granular tail, capped at MAX_MATCH; distance-1 runs (the RLE case
+   the cap would hurt) get exact lengths from a run-length pass;
+3. greedy parse — the classic sequential cover becomes log-depth: build
+   jump tables step^(2^k) by pointer doubling and list the greedy chain's
+   nodes with the orbit-doubling identity node[j + 2^k] = step^(2^k)(node[j]).
+
+Output is dense (ins, cpy, dist) command arrays per page, serialized by the
+native packer (native/brotlig_encode.cpp::blg_encode_page_cmds) which owns
+distance-ring codes, Huffman tables and the swizzle format.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+HASH_MUL = np.uint32(0x1E35A7BD)
+HASH_BITS = 16
+MAX_MATCH_WORDS = 16          # cap hash matches at 64 bytes
+MIN_MATCH = 4
+NUM_CANDIDATES = 2
+
+
+def _quads(pages: jnp.ndarray) -> jnp.ndarray:
+    """4-byte little-endian word starting at every byte offset [P, S]."""
+    b = pages.astype(jnp.uint32)
+    q = b
+    for k in range(1, 4):
+        shifted = jnp.concatenate(
+            [b[:, k:], jnp.zeros((b.shape[0], k), jnp.uint32)], axis=1)
+        q = q | (shifted << (8 * k))
+    return q
+
+
+def _ctz_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """Number of trailing zero BYTES of a uint32 (4 when x == 0)."""
+    b0 = (x & 0xFF) == 0
+    b1 = (x & 0xFFFF) == 0
+    b2 = (x & 0xFFFFFF) == 0
+    b3 = x == 0
+    return (b0.astype(I32) + b1.astype(I32) + b2.astype(I32)
+            + b3.astype(I32))
+
+
+def _match_len(quads, pos, cand, limit):
+    """LCP of the suffixes at pos/cand in bytes, capped at 4*MAX_MATCH_WORDS.
+
+    quads: [P, S]; pos/cand: [P, S] int32 (cand < pos; cand = -1 -> 0).
+    limit: [P, 1] page sizes.
+    """
+    S = quads.shape[1]
+    valid = cand >= 0
+    ml = jnp.zeros_like(pos)
+    still = valid
+    for w in range(MAX_MATCH_WORDS):
+        qa = jnp.take_along_axis(quads, jnp.clip(pos + 4 * w, 0, S - 1),
+                                 axis=1)
+        qb = jnp.take_along_axis(quads, jnp.clip(cand + 4 * w, 0, S - 1),
+                                 axis=1)
+        x = qa ^ qb
+        eq = x == 0
+        ml = ml + jnp.where(still, jnp.where(eq, 4, _ctz_bytes(x)), 0)
+        still = still & eq
+    ml = jnp.minimum(ml, jnp.maximum(limit - pos, 0))
+    return jnp.where(valid, ml, 0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
+    """Bulk-greedy LZ77 over a batch of pages.
+
+    pages: uint8 [P, S]; in_sizes: int32 [P].
+    Returns (ins, cpy, dist [P, max_cmds] int32, ncmds [P]) — commands cover
+    a prefix of each page; the remaining tail is the caller's insert-only
+    command.
+    """
+    P, S = pages.shape
+    limit = in_sizes[:, None]
+    iota = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
+
+    quads = _quads(pages)
+    h = ((quads * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(I32)
+    # kill positions whose 4-byte window crosses the page end
+    h = jnp.where(iota + MIN_MATCH <= limit, h, (1 << HASH_BITS) + (iota & 0xFF))
+
+    # stable sort by hash groups positions; within a group, ascending pos
+    order = jnp.argsort(h, axis=1, stable=True).astype(I32)
+    h_sorted = jnp.take_along_axis(h, order, axis=1)
+    inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
+
+    best_len = jnp.zeros((P, S), I32)
+    best_dist = jnp.zeros((P, S), I32)
+    for k in range(1, NUM_CANDIDATES + 1):
+        prev_rank = jnp.maximum(inv - k, 0)
+        same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
+        cand = jnp.take_along_axis(order, prev_rank, axis=1)
+        cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
+        ml = _match_len(quads, iota, cand, limit)
+        better = ml > best_len
+        best_len = jnp.where(better, ml, best_len)
+        best_dist = jnp.where(better, iota - cand, best_dist)
+
+    # distance-1 runs: exact lengths (uncapped) for byte repeats
+    b = pages.astype(I32)
+    prev_b = jnp.concatenate([jnp.full((P, 1), -1, I32), b[:, :-1]], axis=1)
+    eq = (b == prev_b) & (iota < limit)
+    # next position where eq is False, scanning right (suffix min of flips)
+    flip = jnp.where(~eq, iota, S)
+    next_flip = jax.lax.cummin(flip[:, ::-1], axis=1)[:, ::-1]
+    run_len = jnp.where(eq, next_flip - iota, 0)
+    run_len = jnp.minimum(run_len, jnp.maximum(limit - iota, 0))
+    better = run_len > best_len
+    best_len = jnp.where(better, run_len, best_len)
+    best_dist = jnp.where(better, 1, best_dist)
+
+    is_match = best_len >= MIN_MATCH
+    step = jnp.where(is_match, iota + best_len, iota + 1)
+    step = jnp.minimum(step, S - 1)
+    # make the terminal position a fixed point so orbit tails saturate
+    step = jnp.where(iota >= limit - 1, iota, step)
+    # also: greedy must not start a match that runs past the page — the
+    # cap in _match_len already clamps to the page limit.
+
+    # jump doubling + orbit listing: node[j + 2^k] = step^(2^k)(node[j])
+    levels = max(1, (max_cmds - 1).bit_length())
+    nodes = jnp.zeros((P, 1 << levels), I32)
+    jk = step
+    size = 1
+    for k in range(levels):
+        nxt = jnp.take_along_axis(jk, nodes[:, :size], axis=1)
+        nodes = jax.lax.dynamic_update_slice(nodes, nxt, (0, size))
+        jk = jnp.take_along_axis(jk, jk, axis=1)
+        size *= 2
+
+    nodes = nodes[:, :max_cmds]
+    node_valid = (nodes < limit - 0) & \
+        (jnp.concatenate([jnp.zeros((P, 1), bool),
+                          nodes[:, 1:] > nodes[:, :-1]], axis=1)
+         | (jnp.arange(max_cmds, dtype=I32)[None, :] == 0))
+    node_len = jnp.take_along_axis(best_len, jnp.clip(nodes, 0, S - 1),
+                                   axis=1)
+    node_dist = jnp.take_along_axis(best_dist, jnp.clip(nodes, 0, S - 1),
+                                    axis=1)
+    node_match = node_valid & (node_len >= MIN_MATCH) & \
+        (nodes + node_len <= limit)
+
+    # compact match nodes into the command list (searchsorted, no scatter)
+    match_rank = jnp.cumsum(node_match.astype(I32), axis=1)
+    ncmds = match_rank[:, -1]
+    target = jnp.broadcast_to(
+        jnp.arange(max_cmds, dtype=I32)[None, :] + 1, (P, max_cmds))
+    src_idx = jax.vmap(
+        lambda mr, t: jnp.searchsorted(mr, t, side="left"))(match_rank,
+                                                            target)
+    src_idx = jnp.clip(src_idx, 0, max_cmds - 1)
+    cmd_pos = jnp.take_along_axis(nodes, src_idx, axis=1)
+    cmd_len = jnp.take_along_axis(node_len, src_idx, axis=1)
+    cmd_dist = jnp.take_along_axis(node_dist, src_idx, axis=1)
+    in_range = jnp.arange(max_cmds, dtype=I32)[None, :] < ncmds[:, None]
+
+    prev_end = jnp.concatenate(
+        [jnp.zeros((P, 1), I32), (cmd_pos + cmd_len)[:, :-1]], axis=1)
+    ins = jnp.where(in_range, cmd_pos - prev_end, 0)
+    cpy = jnp.where(in_range, cmd_len, 0)
+    dist = jnp.where(in_range, cmd_dist, 0)
+    return ins, cpy, dist, ncmds
+
+
+# ---------------------------------------------------------------------------
+# Stream-level wrapper: TPU match finding + native serialization
+# ---------------------------------------------------------------------------
+
+def encode_stream_tpu(data: bytes, page_size: int = 65536,
+                      batch_pages: int = 64) -> bytes:
+    """Compress a container with TPU bulk match finding.
+
+    The LZ77 parse (the encode hot loop) runs batched on the device; the
+    per-page entropy coding and swizzle serialization run in the native C++
+    packer. Ratio is slightly below the CPU path (greedy, 64-byte match cap
+    except runs) — see ops/encode.py docstring.
+    """
+    from ..format import constants as C
+    from ..format.headers import StreamHeader, pack_page_table
+    from .. import native
+
+    if not (C.MIN_PAGE_SIZE <= page_size <= C.MAX_PAGE_SIZE):
+        raise ValueError("page size out of range")
+    header = StreamHeader.for_input(len(data), page_size, False)
+    if len(data) == 0:
+        return header.pack()
+    num_pages = header.num_pages
+    max_cmds = page_size // 2 + 2
+
+    pages_out = []
+    for c0 in range(0, num_pages, batch_pages):
+        group = list(range(c0, min(c0 + batch_pages, num_pages)))
+        Pb = len(group)
+        arr = np.zeros((Pb, page_size), dtype=np.uint8)
+        sizes = np.zeros(Pb, dtype=np.int32)
+        for row, i in enumerate(group):
+            chunk = data[i * page_size: (i + 1) * page_size]
+            arr[row, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+            sizes[row] = len(chunk)
+        ins, cpy, dist, ncmds = find_commands(
+            jnp.asarray(arr), jnp.asarray(sizes), max_cmds)
+        ins_n = np.asarray(ins)
+        cpy_n = np.asarray(cpy)
+        dist_n = np.asarray(dist)
+        nc_n = np.asarray(ncmds)
+        for row, i in enumerate(group):
+            n = int(sizes[row])
+            k = int(nc_n[row])
+            page = native.encode_page_cmds(
+                arr[row, :n].tobytes(), i == num_pages - 1,
+                ins_n[row, :k], cpy_n[row, :k], dist_n[row, :k])
+            pages_out.append(page)
+
+    out = bytearray()
+    out += header.pack()
+    out += pack_page_table([len(p) for p in pages_out])
+    for p in pages_out:
+        out += p
+    return bytes(out)
