@@ -260,6 +260,8 @@ def load_table_lengths(reader, alphabet_size: int):
         fixed = SIMPLE_CODELENGTHS[table_idx]
         for i in range(num_symbols):
             sym = reader.read(max_bits)
+            if sym >= alphabet_size:
+                raise ValueError("corrupt stream: symbol out of range")
             lengths[sym] = fixed[i]
             reader.bs_switch()
         reader.bs_reset()

@@ -94,10 +94,13 @@ struct Deswizzler {
 struct Table {
   std::vector<uint32_t> flat;
   int32_t trivial = -1;
-  void BuildFromLengths(const uint8_t* lens, uint32_t alphabet) {
+  bool BuildFromLengths(const uint8_t* lens, uint32_t alphabet) {
     flat.assign(kTableSize, 0);
     uint32_t bl_count[16] = {0};
-    for (uint32_t s = 0; s < alphabet; ++s) bl_count[lens[s]]++;
+    for (uint32_t s = 0; s < alphabet; ++s) {
+      if (lens[s] > 15) return false;  // corrupt input
+      bl_count[lens[s]]++;
+    }
     bl_count[0] = 0;
     uint32_t next_code[17] = {0};
     for (int l = 1; l <= 15; ++l)
@@ -106,11 +109,13 @@ struct Table {
       uint32_t L = lens[s];
       if (!L) continue;
       uint32_t code = next_code[L]++;
-      uint32_t start = code << (kTableBits - L);
-      uint32_t span = 1u << (kTableBits - L);
+      uint64_t start = static_cast<uint64_t>(code) << (kTableBits - L);
+      uint64_t span = 1u << (kTableBits - L);
+      if (start + span > kTableSize) return false;  // over-subscribed code
       uint32_t entry = (s << 5) | L;
-      for (uint32_t i = 0; i < span; ++i) flat[start + i] = entry;
+      for (uint64_t i = 0; i < span; ++i) flat[start + i] = entry;
     }
+    return true;
   }
 };
 
@@ -152,7 +157,10 @@ bool LoadTable(Deswizzler& r, uint32_t alphabet, Table& out) {
     uint16_t cl_flat[1 << kClTableBits] = {0};
     {
       uint32_t blc[10] = {0};
-      for (int s = 0; s < 18; ++s) blc[cl_lens[s]]++;
+      for (int s = 0; s < 18; ++s) {
+        if (cl_lens[s] > 9) return false;  // corrupt input
+        blc[cl_lens[s]]++;
+      }
       blc[0] = 0;
       uint32_t next[11] = {0};
       for (int l = 1; l <= 9; ++l) next[l] = (next[l - 1] + blc[l - 1]) << 1;
@@ -160,8 +168,10 @@ bool LoadTable(Deswizzler& r, uint32_t alphabet, Table& out) {
         uint32_t L = cl_lens[s];
         if (!L) continue;
         uint32_t code = next[L]++;
-        uint32_t start = code << (kClTableBits - L);
-        for (uint32_t i = 0; i < (1u << (kClTableBits - L)); ++i)
+        uint64_t start = static_cast<uint64_t>(code) << (kClTableBits - L);
+        uint64_t span = 1u << (kClTableBits - L);
+        if (start + span > (1u << kClTableBits)) return false;
+        for (uint64_t i = 0; i < span; ++i)
           cl_flat[start + i] = static_cast<uint16_t>((s << 5) | L);
       }
     }
@@ -192,8 +202,7 @@ bool LoadTable(Deswizzler& r, uint32_t alphabet, Table& out) {
   } else {
     return false;
   }
-  out.BuildFromLengths(lens.data(), alphabet);
-  return true;
+  return out.BuildFromLengths(lens.data(), alphabet);
 }
 
 struct Command {
@@ -247,8 +256,11 @@ bool DecodePage(const uint8_t* src, size_t src_size, uint8_t* dst,
   uint32_t prev_tail = 0;
   bool sentinel = false;
   Command cmds[kNumStreams];
+  // corrupt streams may never produce a sentinel: bound the rounds
+  int64_t rounds_left = static_cast<int64_t>(dst_size / 2 + 34);
 
   while (!sentinel) {
+    if (--rounds_left < 0) return false;
     uint32_t litcount = 0, bs = 0;
     while (bs != kNumStreams) {
       uint32_t sym = decode(icp);

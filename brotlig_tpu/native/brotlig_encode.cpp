@@ -406,16 +406,21 @@ void FindMatches(const uint8_t* d, uint32_t n, int max_chain,
   tail = n - anchor;
 }
 
-void EncodeDistance(uint32_t dist, uint32_t& sym, uint32_t& nbits,
-                    uint32_t& extra) {
-  // npostfix=0, ndirect=0
-  uint32_t dd = dist - 1;
-  uint32_t hval = dd;
+void EncodeDistance(uint32_t dist, uint32_t npostfix, uint32_t ndirect,
+                    uint32_t& sym, uint32_t& nbits, uint32_t& extra) {
+  if (dist <= ndirect) {
+    sym = 16 + dist - 1;
+    nbits = 0;
+    extra = 0;
+    return;
+  }
+  uint32_t dd = dist - ndirect - 1;
+  uint32_t postfix = dd & ((1u << npostfix) - 1);
+  uint32_t hval = dd >> npostfix;
   nbits = BitLength(hval + 4) - 2;
   uint32_t b = ((hval + 4) >> nbits) & 1;
   extra = hval + 4 - ((2 + b) << nbits);
-  sym = 16 + ((2 * (nbits - 1) + b));
-  nbits = nbits;
+  sym = 16 + ndirect + (((2 * (nbits - 1) + b) << npostfix) | postfix);
 }
 
 // Serialize one page from raw (ins,cpy,dist) commands covering a prefix of
@@ -443,6 +448,61 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
     }
   }
 
+  // distance-parameter search (npostfix x ndirect grid), mirroring the
+  // reference's per-page optimization (PageEncoder.cpp:324-377): pick the
+  // (npostfix, ndirect) that minimizes entropy + extra bits of the
+  // non-short distance symbols.
+  uint32_t npostfix = 0, ndirect = 0;
+  {
+    // collect absolute distances of commands not hitting the ring
+    std::vector<uint32_t> dists;
+    uint32_t ring[4] = {4, 11, 15, 16};
+    for (auto& c : cmds) {
+      if (!c.cpy) continue;
+      uint32_t sym = UINT32_MAX;
+      if (c.dist == ring[0]) sym = 0;
+      else if (c.dist == ring[1]) sym = 1;
+      else if (c.dist == ring[2]) sym = 2;
+      else if (c.dist == ring[3]) sym = 3;
+      if (sym == UINT32_MAX || sym > 0) {
+        if (sym == UINT32_MAX) dists.push_back(c.dist);
+        if (sym != 0) {
+          ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
+          ring[0] = c.dist;
+        }
+      }
+    }
+    double best_cost = 1e99;
+    for (uint32_t np = 0; np <= 3; ++np) {
+      for (uint32_t nd_msb = 0; nd_msb <= 15; ++nd_msb) {
+        uint32_t nd = nd_msb << np;
+        std::vector<uint32_t> h(kDistAlphabet, 0);
+        uint64_t extra_bits = 0;
+        bool ok = true;
+        for (uint32_t d : dists) {
+          uint32_t sym, nb, ex;
+          EncodeDistance(d, np, nd, sym, nb, ex);
+          if (sym >= kDistAlphabet) { ok = false; break; }
+          h[sym]++;
+          extra_bits += nb;
+        }
+        if (!ok) continue;
+        double cost = static_cast<double>(extra_bits);
+        double total = static_cast<double>(dists.size());
+        for (uint32_t s = 0; s < kDistAlphabet; ++s)
+          if (h[s]) {
+            cost -= h[s] * std::log2(h[s] / total);
+            cost += 6.0;  // table-storage cost per used symbol
+          }
+        if (cost < best_cost) {
+          best_cost = cost;
+          npostfix = np;
+          ndirect = nd;
+        }
+      }
+    }
+  }
+
   // distance codes with ring semantics
   uint32_t ring[4] = {4, 11, 15, 16};
   for (auto& c : cmds) {
@@ -451,7 +511,7 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
     else if (c.dist == ring[1]) sym = 1;
     else if (c.dist == ring[2]) sym = 2;
     else if (c.dist == ring[3]) sym = 3;
-    else EncodeDistance(c.dist, sym, nbits, extra);
+    else EncodeDistance(c.dist, npostfix, ndirect, sym, nbits, extra);
     uint32_t ic = GetInsertCode(c.ins), cc = GetCopyCode(c.cpy);
     bool use_last = (sym == 0 && ic < 8 && cc < 16);
     c.prefix = CombineLengthCodes(ic, cc, use_last);
@@ -553,9 +613,9 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
     w.Reset();
   }
 
-  w.header.Write(2, 0);  // npostfix
-  w.header.Write(4, 0);  // ndirect_msb
-  w.header.Write(1, 0);  // isdelta
+  w.header.Write(2, npostfix);
+  w.header.Write(4, ndirect >> npostfix);
+  w.header.Write(1, 0);  // isdelta (conditioned paths use the python layer)
   w.header.Write(1, 0);
   std::vector<uint8_t> out = w.Serialize();
   if (out.size() >= n) return {};

@@ -103,6 +103,7 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
     h_sorted = jnp.take_along_axis(h, order, axis=1)
     inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
 
+    cap = 4 * MAX_MATCH_WORDS
     best_len = jnp.zeros((P, S), I32)
     best_dist = jnp.zeros((P, S), I32)
     for k in range(1, NUM_CANDIDATES + 1):
@@ -111,6 +112,13 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
         cand = jnp.take_along_axis(order, prev_rank, axis=1)
         cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
         ml = _match_len(quads, iota, cand, limit)
+        # extend fully-capped matches by up to 2 more cap-sized blocks
+        for ext in range(1, 3):
+            capped = (ml == ext * cap) & (cand >= 0)
+            more = _match_len(quads, iota + ext * cap,
+                              jnp.where(capped, cand + ext * cap, -1),
+                              limit)
+            ml = ml + jnp.where(capped, more, 0)
         better = ml > best_len
         best_len = jnp.where(better, ml, best_len)
         best_dist = jnp.where(better, iota - cand, best_dist)

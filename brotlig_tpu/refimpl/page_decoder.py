@@ -96,8 +96,12 @@ def decode_page(data: bytes, output_size: int):
     lit_queue = bytearray()
     lq_front = 0
     found_sentinel = False
+    max_rounds = output_size // 2 + 34  # commands cover >= 2 bytes each
 
     while not found_sentinel:
+        max_rounds -= 1
+        if max_rounds < 0:
+            raise ValueError("corrupt stream: no sentinel")
         litcount = 0
         bs_processed = 0
         cmds = []  # (insert_len, copy_len, distance)
@@ -160,7 +164,11 @@ def decode_page(data: bytes, output_size: int):
         # multiple of bs_processed; reference relies on the same wrap.
 
         for insert_len, copy_len, d in cmds:
+            if wpos + insert_len + copy_len > output_size:
+                raise ValueError("corrupt stream: output overrun")
             if insert_len:
+                if lq_front + insert_len > len(lit_queue):
+                    raise ValueError("corrupt stream: literal underrun")
                 out[wpos: wpos + insert_len] = \
                     lit_queue[lq_front: lq_front + insert_len]
                 wpos += insert_len
