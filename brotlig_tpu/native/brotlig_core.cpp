@@ -402,9 +402,12 @@ int blg_decode(const uint8_t* src, uint64_t src_size, uint8_t* dst,
   if (si.num_pages == 0) { *out_size = 0; return 0; }
   if (total > dst_cap) return 3;
 
+  if (src_size < si.table_off + 4ull * si.num_pages) return 1;
   const uint32_t* table =
       reinterpret_cast<const uint32_t*>(src + si.table_off);
   const uint8_t* payload = src + si.table_off + 4ull * si.num_pages;
+  const uint64_t payload_size = src_size - si.table_off
+      - 4ull * si.num_pages;
 
   std::atomic<uint32_t> next{0};
   std::atomic<int> err{0};
@@ -413,9 +416,14 @@ int blg_decode(const uint8_t* src, uint64_t src_size, uint8_t* dst,
       uint32_t i = next.fetch_add(1);
       if (i >= si.num_pages || err.load()) break;
       uint64_t off = (i == 0) ? 0 : table[i];
-      uint64_t sz = (i < si.num_pages - 1)
-                        ? ((i == 0 ? table[1] : table[i + 1]) - off)
-                        : table[0];
+      uint64_t end = (i < si.num_pages - 1)
+                         ? (i == 0 ? table[1] : table[i + 1])
+                         : off + table[0];
+      if (end < off || end > payload_size) {  // corrupt page table
+        err.store(4);
+        break;
+      }
+      uint64_t sz = end - off;
       uint64_t out_off = static_cast<uint64_t>(i) * si.page_size;
       uint64_t page_out =
           (i == si.num_pages - 1 && si.last_page_size)

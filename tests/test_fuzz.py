@@ -47,7 +47,7 @@ class TestFuzz:
     @pytest.mark.skipif(not native.available(), reason="no toolchain")
     def test_native_never_crashes(self, blob):
         rng = np.random.default_rng(1)
-        for c in corruptions(blob, rng, 120):
+        for c in corruptions(blob, rng, 400):
             try:
                 native.decode(c)
             except (ValueError, NotImplementedError):
