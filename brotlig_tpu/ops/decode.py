@@ -26,12 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format import constants as C
-from ..format import lut
 from . import arith_lut
-from .bits import extract_bits, fetch_window, peek_bits, peek_bits_fused, \
+from .bits import extract_bits, fetch_window, peek_bits_fused, \
     reverse_bits_15
-from .tables import build_flat, build_search, flat_decode, load_table, \
-    parse_page_headers, search_decode
+from .tables import build_search, load_table, parse_page_headers, \
+    search_decode
 
 I32 = jnp.int32
 NBS = C.NUM_BITSTREAMS
@@ -460,8 +459,7 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
     (BASELINE config 4)."""
     from ..format.headers import StreamHeader, PreconditionHeader, \
         unpack_page_table
-    from ..format.precondition import (DataConditionParams,
-                                       delta_decode_page, decondition)
+    from ..format.precondition import DataConditionParams
 
     header = StreamHeader.unpack(data)
     pos = C.STREAM_HEADER_SIZE_BYTES
@@ -512,15 +510,16 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
         # compiled program serves every chunk; dummy rows reuse page 0
         in_flight: list = []
 
+        isdelta_pages: set = set()
+
         def drain(slot):
             group, pages_out, isdelta = slot
             pages_np = np.asarray(pages_out)
             isdelta_np = np.asarray(isdelta)
             for row, i in enumerate(group):
                 chunk = pages_np[row, : page_out_sizes[i]].tobytes()
-                if isdelta_np[row] and dc_params is not None:
-                    chunk = delta_decode_page(chunk, i * page_size,
-                                              dc_params)
+                if isdelta_np[row]:
+                    isdelta_pages.add(i)
                 out[i * page_size: i * page_size + page_out_sizes[i]] = \
                     chunk
 
@@ -538,5 +537,9 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
             drain(slot)
 
     if dc_params is not None:
-        return decondition(bytes(out), dc_params)
+        # device-side delta decode + decondition gather
+        from .precondition import postprocess_device
+        pages_flagged = isdelta_pages if comp_idx else set()
+        return postprocess_device(bytes(out), dc_params, page_size,
+                                  pages_flagged)
     return bytes(out[:out_size])

@@ -110,3 +110,38 @@ class TestStreamJax:
         data = make_data("text", 50_000, seed=9)
         blob = brotlig_tpu.encode(data)
         assert brotlig_tpu.decode(blob) == data
+
+
+class TestDevicePrecondition:
+    @pytest.mark.parametrize("swizzle,delta", [(False, False), (True, True),
+                                               (False, True)])
+    def test_matches_oracle(self, swizzle, delta):
+        from brotlig_tpu.format.precondition import DataConditionParams
+        from brotlig_tpu.refimpl.codec import decode as py_decode
+        rng = np.random.default_rng(4)
+        size = 128 * 128 * 8  # 512x512 BC1
+        base = (rng.integers(0, 8, size=size)
+                + (np.arange(size) // 64) % 32) % 256
+        tex = base.astype(np.uint8).tobytes()
+        p = DataConditionParams(
+            precondition=True, swizzle=swizzle, delta_encode=delta,
+            format=C.DATA_FORMAT_BC1, width_in_pixels=512,
+            height_in_pixels=512, num_mip_levels=1)
+        blob = encode(tex, page_size=C.MIN_PAGE_SIZE, dc_params=p)
+        got = decode_stream_jax(blob)
+        assert got == py_decode(blob)
+        assert got == tex
+
+    def test_mips_and_pitch(self):
+        from brotlig_tpu.format.precondition import DataConditionParams
+        rng = np.random.default_rng(5)
+        # BC3 64x64 with 2 mips
+        size = 16 * (256 + 64)
+        tex = (rng.integers(0, 16, size) + np.arange(size) // 32
+               ).astype(np.uint8).tobytes()
+        p = DataConditionParams(
+            precondition=True, swizzle=True, delta_encode=True,
+            format=C.DATA_FORMAT_BC3, width_in_pixels=64,
+            height_in_pixels=64, num_mip_levels=2)
+        blob = encode(tex, page_size=C.MIN_PAGE_SIZE, dc_params=p)
+        assert decode_stream_jax(blob) == tex
