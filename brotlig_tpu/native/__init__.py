@@ -56,7 +56,7 @@ def _load():
                 ctypes.c_char_p, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
-                ctypes.c_int, ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
             u32p = np_ctypeslib.ndpointer(dtype="uint32", flags="C")
             lib.blg_encode_page_cmds.restype = ctypes.c_int
             lib.blg_encode_page_cmds.argtypes = [
@@ -107,8 +107,11 @@ def has_encoder() -> bool:
 
 
 def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
-           num_threads: int = 0) -> bytes:
-    """Compress a container with the native encoder (no preconditioning)."""
+           num_threads: int = 0, quality: int = 11) -> bytes:
+    """Compress a container with the native encoder (no preconditioning).
+
+    quality >= 10 uses the two-pass cost-model optimal parse; lower values
+    use the greedy-lazy parse (faster, worse ratio)."""
     from ..format import constants as C
     lib = _load()
     if lib is None:
@@ -118,7 +121,7 @@ def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
     out_size = ctypes.c_uint64(0)
     rc = lib.blg_encode(data, len(data), out, cap,
                         ctypes.byref(out_size), page_size, max_chain,
-                        num_threads)
+                        num_threads, quality)
     if rc != 0:
         raise ValueError(f"native encode failed (rc={rc})")
     return bytes(bytearray(out)[: out_size.value])

@@ -622,12 +622,193 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
   return out;
 }
 
+// --- two-pass optimal parse (cost-model shortest path) ----------------------
+//
+// Pass 1: greedy parse -> histograms -> per-symbol bit costs. Pass 2:
+// shortest path over (literal | match) transitions with those costs —
+// the same idea as the reference's Zopfli backward references
+// (SURVEY §2.11), built fresh around our cost model.
+
+void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
+                  std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
+  // pass 1: greedy for statistics
+  std::vector<Cmd> g;
+  uint32_t gtail = 0;
+  FindMatches(d, n, max_chain, g, gtail);
+
+  double litcost[256], distcost[kDistAlphabet];
+  {
+    uint32_t hl[256] = {0};
+    uint32_t hd[kDistAlphabet] = {0};
+    uint64_t nl = gtail, ndist = 0;
+    uint32_t pos = 0;
+    for (auto& c : g) {
+      for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
+      nl += c.ins;
+      pos += c.ins + c.cpy;
+      uint32_t sym, nb, ex;
+      EncodeDistance(c.dist, 0, 0, sym, nb, ex);
+      if (sym < kDistAlphabet) { hd[sym]++; ++ndist; }
+    }
+    for (uint32_t i = gtail ? n - gtail : n; i < n; ++i) hl[d[i]]++;
+    double tl = std::max<double>(nl, 1);
+    for (int s = 0; s < 256; ++s)
+      litcost[s] = hl[s] ? std::min(15.0, -std::log2(hl[s] / tl))
+                         : std::min(15.0, std::log2(tl) + 2);
+    double td = std::max<double>(ndist, 1);
+    for (uint32_t s = 0; s < kDistAlphabet; ++s)
+      distcost[s] = hd[s] ? std::min(15.0, -std::log2(hd[s] / td))
+                          : std::min(15.0, std::log2(td) + 4);
+  }
+  // command-symbol cost model: ~log2(#used commands) + copy extra bits,
+  // amortized insert cost goes into the literal transition
+  const double cmd_base_cost = 8.0;
+  const double lit_step_extra = 0.25;
+
+  // hash chains for pass 2
+  std::vector<int32_t> head(1 << kHashBits, -1);
+  std::vector<int32_t> prev(n ? n : 1, -1);
+  auto hash4 = [&](uint32_t pos) {
+    uint32_t v;
+    std::memcpy(&v, d + pos, 4);
+    return (v * kHashMul) >> (32 - kHashBits);
+  };
+
+  // precompute distance-1 run lengths in O(n): run_d1[i] = longest L with
+  // d[i..i+L) all equal to d[i-1]
+  std::vector<uint32_t> run_d1(n + 1, 0);
+  for (uint32_t i = n; i-- > 1;) {
+    if (d[i] == d[i - 1])
+      run_d1[i] = 1 + ((i + 1 < n && d[i + 1] == d[i]) ? run_d1[i + 1] : 0);
+  }
+
+  constexpr uint32_t kLcpCap = 1024;  // compare cap; longer via run path
+  const double kInf = 1e30;
+  std::vector<double> dp(n + 1, kInf);
+  std::vector<uint32_t> from_len(n + 1, 0), from_dist(n + 1, 0);
+  dp[0] = 0;
+  for (uint32_t i = 0; i < n; ++i) {
+    // literal step
+    double lc = dp[i] + litcost[d[i]] + lit_step_extra;
+    if (lc < dp[i + 1]) { dp[i + 1] = lc; from_len[i + 1] = 0; }
+    uint32_t skip_to = 0;  // set by the long-match cutoff
+    if (i + 4 <= n) {
+      auto relax = [&](uint32_t dist, uint32_t maxlen) {
+        if (!dist || maxlen < 4) return;
+        uint32_t sym, nb, ex;
+        EncodeDistance(dist, 0, 0, sym, nb, ex);
+        double dc = (sym < kDistAlphabet ? distcost[sym] : 20.0) + nb;
+        // try the full length and the base length of each copy code bucket
+        uint32_t lens[28];
+        int nl2 = 0;
+        lens[nl2++] = maxlen;
+        for (int cc2 = 0; cc2 < 24 && kCpyBase[cc2] < maxlen; ++cc2)
+          if (kCpyBase[cc2] >= 4) lens[nl2++] = kCpyBase[cc2];
+        for (int t = 0; t < nl2; ++t) {
+          uint32_t L = lens[t];
+          uint32_t cc2 = GetCopyCode(L);
+          double cost = dp[i] + cmd_base_cost + kCpyExtra[cc2] + dc;
+          if (cost < dp[i + L]) {
+            dp[i + L] = cost;
+            from_len[i + L] = L;
+            from_dist[i + L] = dist;
+          }
+        }
+      };
+      uint32_t rl = std::min<uint32_t>(run_d1[i], n - i);
+      relax(1, rl);
+      uint32_t bestL = rl;
+      // inside a long run, hash candidates add nothing the run lacks
+      if (rl < 64) {
+        int32_t cand = head[hash4(i)];
+        int chain = max_chain;
+        const uint8_t* b = d + i;
+        while (cand >= 0 && chain-- > 0) {
+          const uint8_t* a = d + cand;
+          // cheap reject: a candidate that cannot beat bestL differs at
+          // offset bestL
+          if (bestL > 0 && (i + bestL >= n || a[bestL] != b[bestL])) {
+            cand = prev[cand];
+            continue;
+          }
+          uint32_t limit = std::min(n - i, kLcpCap);
+          uint32_t L = 0;
+          while (L < limit && a[L] == b[L]) ++L;
+          if (L >= kLcpCap) {  // winner hit the cap: extend uncapped
+            limit = n - i;
+            while (L < limit && a[L] == b[L]) ++L;
+          }
+          if (L > bestL) {
+            relax(i - cand, L);
+            bestL = L;
+            // good-enough cutoff: stop refining long matches
+            if (L >= 256 || L >= n - i) break;
+          }
+          cand = prev[cand];
+        }
+      }
+      // very long matches are committed immediately (zopfli-style cutoff):
+      // transitions from inside the covered span add ~nothing and cost n*L
+      if (bestL >= 325) skip_to = i + bestL - 1;
+    }
+    if (i + 4 <= n) {
+      uint32_t h = hash4(i);
+      prev[i] = head[h];
+      head[h] = static_cast<int32_t>(i);
+    }
+    if (skip_to > i) {
+      // sparse hash insertion across the skipped span
+      for (uint32_t p2 = i + 8; p2 + 4 <= n && p2 < skip_to; p2 += 8) {
+        uint32_t h = hash4(p2);
+        prev[p2] = head[h];
+        head[h] = static_cast<int32_t>(p2);
+      }
+      i = skip_to;
+    }
+  }
+
+  // backtrack: matches in reverse order (from_len==0 marks literal steps)
+  std::vector<std::pair<uint32_t, std::pair<uint32_t, uint32_t>>> matches;
+  uint32_t p = n;
+  while (p > 0) {
+    if (from_len[p] == 0) {
+      --p;
+      continue;
+    }
+    uint32_t L = from_len[p], dist = from_dist[p];
+    matches.push_back({p - L, {L, dist}});
+    p -= L;
+  }
+  std::reverse(matches.begin(), matches.end());
+  out_cmds.clear();
+  uint32_t pos = 0;
+  for (auto& m : matches) {
+    uint32_t start = m.first, L = m.second.first, dist = m.second.second;
+    out_cmds.push_back({start - pos, L, dist, 0, -1, 0, 0});
+    pos = start + L;
+  }
+  out_tail = n - pos;
+}
+
 std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
-                                bool is_last, int max_chain) {
+                                bool is_last, int max_chain, int quality) {
   std::vector<Cmd> cmds;
   uint32_t tail = 0;
   FindMatches(data, n, max_chain, cmds, tail);
-  return EncodePageFromCommands(data, n, is_last, cmds, tail);
+  std::vector<uint8_t> greedy =
+      EncodePageFromCommands(data, n, is_last, cmds, tail);
+  if (quality < 10 || n < 64) return greedy;
+  // q11: also run the cost-model optimal parse and keep the smaller page
+  // (the DP cost model does not see ring-distance savings, so neither
+  // parse dominates on all data)
+  std::vector<Cmd> ocmds;
+  uint32_t otail = 0;
+  ParseOptimal(data, n, max_chain, ocmds, otail);
+  std::vector<uint8_t> opt =
+      EncodePageFromCommands(data, n, is_last, ocmds, otail);
+  if (opt.empty()) return greedy;
+  if (greedy.empty()) return opt;
+  return opt.size() < greedy.size() ? opt : greedy;
 }
 
 }  // namespace
@@ -670,7 +851,7 @@ int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
 // Encode a whole container (no preconditioning). Returns 0 on success.
 int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
                uint64_t dst_cap, uint64_t* out_size, uint32_t page_size,
-               int max_chain, int num_threads) {
+               int max_chain, int num_threads, int quality) {
   if (page_size < 32768 || page_size > 131072 ||
       (page_size & (page_size - 1)))
     return 1;
@@ -703,7 +884,7 @@ int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
           std::min<uint64_t>(page_size, n - off));
       bool is_last = (i == num_pages - 1);
       std::vector<uint8_t> comp =
-          EncodePage(src + off, pn, is_last, max_chain);
+          EncodePage(src + off, pn, is_last, max_chain, quality);
       if (comp.empty() || comp.size() >= pn)
         pages[i].assign(src + off, src + off + pn);  // raw
       else
