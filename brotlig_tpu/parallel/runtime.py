@@ -22,6 +22,7 @@ import numpy as np
 
 import jax
 
+from ..format import constants as C
 from ..ops.decode import decode_stream_jax
 
 
@@ -52,6 +53,96 @@ def decode_archives(blobs: Sequence[bytes],
     for i in my_archive_indices(len(blobs)):
         out[i] = decode_stream_jax(blobs[i], batch_pages=batch_pages)
     return out
+
+
+def decode_archives_batched(blobs: Sequence[bytes],
+                            batch_pages: int = 256) -> list[bytes]:
+    """Decode MANY containers in shared device batches.
+
+    The reference GPU decoder drains a meta buffer listing thousands of
+    independent streams in one dispatch (BrotliGCompute.hlsl:1755-1882,
+    SURVEY §2.12.4); here pages from all archives are pooled into the same
+    fixed-size device batches regardless of archive boundaries, so small
+    archives amortize like big ones. Outputs keep archive order.
+    """
+    from ..format.headers import StreamHeader, PreconditionHeader, \
+        unpack_page_table
+    from ..format.precondition import DataConditionParams
+    from ..ops.decode import decode_pages, max_cmds_for, _batch_pages
+    from ..ops.precondition import postprocess_device
+    import jax.numpy as jnp
+
+    outs: list[bytearray] = []
+    metas = []
+    # job = (archive, page_index, payload_off, size, out_size)
+    jobs_by_psize: dict[int, list] = {}
+    for ai, blob in enumerate(blobs):
+        header = StreamHeader.unpack(blob)
+        pos = C.STREAM_HEADER_SIZE_BYTES
+        dc = None
+        if header.preconditioned:
+            ph = PreconditionHeader.unpack(blob[pos:])
+            pos += C.PRECON_HEADER_SIZE_BYTES
+            dc = DataConditionParams(
+                precondition=True, swizzle=ph.swizzled,
+                format=ph.data_format, num_mip_levels=ph.num_mips,
+                pitch_d3d12_aligned=ph.pitch_d3d12_aligned)
+            dc.width_in_blocks[0] = ph.width_in_blocks
+            dc.height_in_blocks[0] = ph.height_in_blocks
+            dc.pitch_in_bytes[0] = ph.pitch_in_bytes
+        out_size = header.uncompressed_size
+        outs.append(bytearray(out_size))
+        if dc is not None:
+            dc.initialize(out_size)
+        metas.append((header, dc, set()))
+        if header.num_pages == 0:
+            continue
+        offsets, sizes = unpack_page_table(blob[pos:], header.num_pages)
+        payload_base = pos + header.num_pages * 4
+        ps = header.page_size
+        for i in range(header.num_pages):
+            posz = (header.last_page_size
+                    if (i == header.num_pages - 1 and header.last_page_size)
+                    else ps)
+            off = payload_base + int(offsets[i])
+            sz = int(sizes[i])
+            if sz == posz:  # raw page
+                outs[ai][i * ps: i * ps + posz] = blob[off: off + posz]
+            else:
+                jobs_by_psize.setdefault(ps, []).append(
+                    (ai, i, off, sz, posz))
+
+    for ps, jobs in jobs_by_psize.items():
+        W = ps // 4 + 8
+        mc = max_cmds_for(ps)
+        for c0 in range(0, len(jobs), batch_pages):
+            group = jobs[c0: c0 + batch_pages]
+            rows = group + [group[0]] * (batch_pages - len(group)) \
+                if len(jobs) > batch_pages else group
+            arr = np.zeros((len(rows), W * 4), dtype=np.uint8)
+            in_sizes = np.zeros(len(rows), dtype=np.int32)
+            for r, (ai, i, off, sz, posz) in enumerate(rows):
+                arr[r, :sz] = np.frombuffer(blobs[ai], np.uint8, sz, off)
+                in_sizes[r] = sz
+            pages_out, isdelta = decode_pages(
+                jnp.asarray(arr.view(np.uint32).reshape(len(rows), W)),
+                jnp.asarray(in_sizes), ps, mc)
+            pages_np = np.asarray(pages_out)
+            isdelta_np = np.asarray(isdelta)
+            for r, (ai, i, off, sz, posz) in enumerate(group):
+                outs[ai][i * ps: i * ps + posz] = \
+                    pages_np[r, :posz].tobytes()
+                if isdelta_np[r]:
+                    metas[ai][2].add(i)
+
+    results = []
+    for ai, (header, dc, delta_pages) in enumerate(metas):
+        if dc is not None:
+            results.append(postprocess_device(
+                bytes(outs[ai]), dc, header.page_size, delta_pages))
+        else:
+            results.append(bytes(outs[ai]))
+    return results
 
 
 def encode_archives(datas: Sequence[bytes], page_size: int = 65536

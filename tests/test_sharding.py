@@ -74,3 +74,28 @@ class TestArchives:
                                batch_pages=2)
         for i in range(3):
             assert outs[i] == datas[i]
+
+    def test_batched_multi_archive(self):
+        """Pages of many archives pooled into shared device batches."""
+        import numpy as np
+        from brotlig_tpu.parallel.runtime import decode_archives_batched
+        from brotlig_tpu.format.precondition import DataConditionParams
+        rng = np.random.default_rng(7)
+        datas = [make_data(["text", "repetitive", "structured"][i % 3],
+                           30_000 + i * 7000, seed=50 + i) for i in range(5)]
+        blobs = [encode(d, page_size=C.MIN_PAGE_SIZE) for d in datas]
+        # include a preconditioned archive and a raw-ish (random) one
+        tex = ((rng.integers(0, 8, 128 * 128 * 8)
+                + np.arange(128 * 128 * 8) // 64) % 256
+               ).astype(np.uint8).tobytes()
+        p = DataConditionParams(precondition=True, swizzle=True,
+                                delta_encode=True, format=C.DATA_FORMAT_BC1,
+                                width_in_pixels=512, height_in_pixels=512)
+        datas.append(tex)
+        blobs.append(encode(tex, page_size=C.MIN_PAGE_SIZE, dc_params=p))
+        datas.append(rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes())
+        blobs.append(encode(datas[-1], page_size=C.MIN_PAGE_SIZE))
+
+        outs = decode_archives_batched(blobs, batch_pages=4)
+        for i, d in enumerate(datas):
+            assert outs[i] == d, f"archive {i}"
