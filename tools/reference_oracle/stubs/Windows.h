@@ -1,0 +1,3 @@
+// empty stub: the reference includes <Windows.h> unconditionally; nothing
+// from it is used on the CPU decode path compiled here
+#pragma once
