@@ -230,13 +230,20 @@ def encode_stream_tpu(data: bytes, page_size: int = 65536,
         cpy_n = np.asarray(cpy)
         dist_n = np.asarray(dist)
         nc_n = np.asarray(ncmds)
-        for row, i in enumerate(group):
+
+        def pack(row_i):
+            row, i = row_i
             n = int(sizes[row])
             k = int(nc_n[row])
-            page = native.encode_page_cmds(
+            return native.encode_page_cmds(
                 arr[row, :n].tobytes(), i == num_pages - 1,
                 ins_n[row, :k], cpy_n[row, :k], dist_n[row, :k])
-            pages_out.append(page)
+
+        # native packing is page-parallel (the device matcher is async, so
+        # the next batch's match finding overlaps this packing)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor() as ex:
+            pages_out.extend(ex.map(pack, list(enumerate(group))))
 
     out = bytearray()
     out += header.pack()

@@ -99,3 +99,12 @@ class TestArchives:
         outs = decode_archives_batched(blobs, batch_pages=4)
         for i, d in enumerate(datas):
             assert outs[i] == d, f"archive {i}"
+
+    def test_archive_interleaving(self, monkeypatch):
+        """Static interleave covers all archives exactly once across procs."""
+        from brotlig_tpu.parallel import runtime
+        seen = []
+        for pid in range(3):
+            monkeypatch.setattr(runtime, "process_info", lambda p=pid: (p, 3))
+            seen.extend(runtime.my_archive_indices(10))
+        assert sorted(seen) == list(range(10))
