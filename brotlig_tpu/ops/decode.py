@@ -100,14 +100,24 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
     # slots into the real literal queue afterwards.
 
     def lit_chunk(j0, bp, cidx, qtail, rlit, slotbuf, ch_start, ch_count):
-        """Decode one chunk (LIT_UNROLL batches of 32 literals)."""
+        """Decode one chunk (LIT_UNROLL batches of 32 literals).
+
+        One 6-word window gather serves the whole chunk: each lane consumes
+        <= 15 bits per batch, so 8 batches fit the 192-bit hold
+        (31-bit shift + 8*15 + final 15-bit peek = 166 bits). Dropping from
+        8 words-array scans to 1 is the big cost cut (PERF.md: gather cost
+        is operand-scan-bound)."""
+        win, sh = fetch_window(words, bp, 6)
+        delta = jnp.zeros_like(bp)
         batch_syms = []
         for jj in range(LIT_UNROLL):
             j = j0 + jj
             active = (j * NBS + lane) < rlit[:, None]
-            sym, ln = _decode_symbol(words, lit_s, lit_t, bp)
-            bp = bp + jnp.where(active, ln, 0)
+            window15 = extract_bits(win, sh, delta, 15, 6).astype(I32)
+            sym, ln = _flat_decode_window(lit_s, lit_t, window15)
+            delta = delta + jnp.where(active, ln, 0)
             batch_syms.append(sym.astype(jnp.uint8))
+        bp = bp + delta
         block = jnp.concatenate(batch_syms, axis=1)  # [P, 256]
         slotbuf = jax.lax.dynamic_update_slice(slotbuf, block,
                                                (0, cidx * chunk_w))
@@ -249,13 +259,20 @@ def _phase_a(words, lane_bp, icp, dist, lit, npostfix, ndirect,
     (_, _, _, ncmds, _, _, _, slotbuf, ch_start, ch_count, ins_a, cpy_a,
      dcode_a, dextra_a) = jax.lax.while_loop(round_cond, round_body, init)
 
-    # bulk compaction: slot chunks -> dense literal queue (no scatters)
-    ch_end = ch_start + ch_count
+    # bulk compaction: slot chunks -> dense literal queue. The covering
+    # chunk per queue position comes from a scatter-max at the non-empty
+    # chunk starts + cummax forward fill (chunk queue-ranges partition the
+    # queue, and chunk indices increase with their starts).
     q = jnp.broadcast_to(jnp.arange(lit_cap, dtype=I32)[None, :],
                          (P, lit_cap))
-    chunk_of = jax.vmap(
-        lambda e, qq: jnp.searchsorted(e, qq, side="right"))(ch_end, q)
-    chunk_of = jnp.clip(chunk_of, 0, max_chunks - 1)
+    rows2 = jnp.arange(P, dtype=I32)[:, None]
+    chunk_ids = jnp.broadcast_to(
+        jnp.arange(max_chunks, dtype=I32)[None, :], (P, max_chunks))
+    nonempty = ch_count > 0
+    cmark = jnp.zeros((P, lit_cap), I32)
+    cpos = jnp.where(nonempty, jnp.clip(ch_start, 0, lit_cap), lit_cap)
+    cmark = cmark.at[rows2, cpos].max(chunk_ids, mode="drop")
+    chunk_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, max_chunks - 1)
     st = jnp.take_along_axis(ch_start, chunk_of, axis=1)
     slot = jnp.clip(chunk_of * chunk_w + (q - st), 0,
                     max_chunks * chunk_w - 1)
@@ -300,14 +317,17 @@ def _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
         - is_push.astype(I32)  # exclusive
     ref_push = rank - 1 - depth
 
-    # push number -> command index, scatter-free: the m-th real push is the
-    # first position where cumsum(is_push) == m+1 (searchsorted); virtual
-    # pushes 0..3 map to nodes N..N+3.
+    # push number -> command index: scatter each pushing command's index at
+    # its push rank (every rank below the push count is written exactly
+    # once); virtual pushes 0..3 map to nodes N..N+3.
     push_cum = jnp.cumsum(is_push.astype(I32), axis=1)
+    rows_p = jnp.arange(P, dtype=I32)[:, None]
+    rank_pos = jnp.where(is_push, jnp.clip(push_cum - 1, 0, N - 1), N)
+    push_map = jnp.zeros((P, N), I32)
+    push_map = push_map.at[rows_p, rank_pos].max(
+        jnp.broadcast_to(cid, (P, N)), mode="drop")
     real_ref = jnp.clip(ref_push - 4, 0, N - 1)
-    ref_cmd = jax.vmap(
-        lambda pc, m: jnp.searchsorted(pc, m, side="left"))(
-            push_cum, real_ref + 1)
+    ref_cmd = jnp.take_along_axis(push_map, real_ref, axis=1)
     ref_cmd = jnp.clip(ref_cmd, 0, N - 1)
     parent = jnp.where(is_rel,
                        jnp.where(ref_push < 4, N + jnp.clip(ref_push, 0, 3),
@@ -345,9 +365,18 @@ def _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size: int):
     lit_starts = jnp.cumsum(ins_a, axis=1) - ins_a  # exclusive
 
     pos = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
-    cmd_of = jax.vmap(
-        lambda st, p: jnp.searchsorted(st, p, side="right"))(starts, pos)
-    cmd_of = jnp.clip(cmd_of - 1, 0, N - 1)
+    # covering command per position: scatter each command's index at its
+    # start (duplicates from zero-coverage commands resolve to the last,
+    # matching searchsorted-right semantics) and forward-fill with cummax —
+    # one scatter + one scan instead of a log-depth search over [P, S]
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    cid = jnp.broadcast_to(jnp.arange(N, dtype=I32)[None, :], (P, N))
+    in_cmds = cid < ncmds[:, None]
+    mark = jnp.full((P, S), 0, I32)
+    scatter_pos = jnp.where(in_cmds, jnp.clip(starts, 0, S), S)
+    mark = mark.at[rows, scatter_pos].max(cid, mode="drop")
+    cmd_of = jax.lax.cummax(mark, axis=1)
+    cmd_of = jnp.clip(cmd_of, 0, N - 1)
 
     st = jnp.take_along_axis(starts, cmd_of, axis=1)
     ins_c = jnp.take_along_axis(ins_a, cmd_of, axis=1)
@@ -422,8 +451,22 @@ def decode_pages(words: jnp.ndarray, in_sizes: jnp.ndarray,
     """
     (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npostfix, ndirect,
      isdelta) = _stage_symbols(words, in_sizes, page_size, max_cmds)
+    # bucket the command arrays down to the batch's real command count:
+    # phase B's searches/gathers scale with this width, and typical pages
+    # use a fraction of the worst-case bound
+    peak = int(jnp.max(ncmds)) + 1
+    bucket = max_cmds
+    for b in (max_cmds // 8, max_cmds // 4, max_cmds // 2):
+        if peak <= b:
+            bucket = b
+            break
+    if bucket < max_cmds:
+        ins_a = ins_a[:, :bucket]
+        cpy_a = cpy_a[:, :bucket]
+        dcode_a = dcode_a[:, :bucket]
+        dextra_a = dextra_a[:, :bucket]
     out = _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
-                    npostfix, ndirect, page_size, max_cmds)
+                    npostfix, ndirect, page_size, bucket)
     return out, isdelta
 
 
