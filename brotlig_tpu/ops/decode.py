@@ -384,9 +384,17 @@ def _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size: int):
     dst = jnp.take_along_axis(dist, cmd_of, axis=1)
 
     in_insert = pos < st + ins_c
+    # copy source with the overlap resolved up front: position p of a copy
+    # with distance d reads cstart - d + (p - cstart) % d, which always
+    # lands OUTSIDE the copy's own region — so chains only hop across
+    # distinct commands and the pointer doubling below converges in a few
+    # iterations even for distance-1 runs (depth S chains otherwise)
+    cstart = st + ins_c
+    d_safe = jnp.maximum(dst, 1)
+    src_copy = cstart - d_safe + (pos - cstart) % d_safe
     src = jnp.where(in_insert,
                     S + lst + (pos - st),
-                    jnp.clip(pos - dst, 0, S - 1))
+                    jnp.clip(src_copy, 0, S - 1))
 
     iters = max(1, (S - 1).bit_length())
 
