@@ -629,40 +629,41 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
 // the same idea as the reference's Zopfli backward references
 // (SURVEY §2.11), built fresh around our cost model.
 
-void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
-                  std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
-  // pass 1: greedy for statistics
-  std::vector<Cmd> g;
-  uint32_t gtail = 0;
-  FindMatches(d, n, max_chain, g, gtail);
-
-  double litcost[256], distcost[kDistAlphabet];
-  {
-    uint32_t hl[256] = {0};
-    uint32_t hd[kDistAlphabet] = {0};
-    uint64_t nl = gtail, ndist = 0;
-    uint32_t pos = 0;
-    for (auto& c : g) {
-      for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
-      nl += c.ins;
-      pos += c.ins + c.cpy;
-      uint32_t sym, nb, ex;
-      EncodeDistance(c.dist, 0, 0, sym, nb, ex);
-      if (sym < kDistAlphabet) { hd[sym]++; ++ndist; }
-    }
-    for (uint32_t i = gtail ? n - gtail : n; i < n; ++i) hl[d[i]]++;
-    double tl = std::max<double>(nl, 1);
-    for (int s = 0; s < 256; ++s)
-      litcost[s] = hl[s] ? std::min(15.0, -std::log2(hl[s] / tl))
-                         : std::min(15.0, std::log2(tl) + 2);
-    double td = std::max<double>(ndist, 1);
-    for (uint32_t s = 0; s < kDistAlphabet; ++s)
-      distcost[s] = hd[s] ? std::min(15.0, -std::log2(hd[s] / td))
-                          : std::min(15.0, std::log2(td) + 4);
+void CostsFromCommands(const uint8_t* d, uint32_t n,
+                       const std::vector<Cmd>& cmds, uint32_t tail,
+                       double* litcost, double* distcost,
+                       double* cmd_base_cost) {
+  uint32_t hl[256] = {0};
+  std::vector<uint32_t> hd(kDistAlphabet, 0);
+  uint64_t nl = tail, ndist = 0;
+  uint32_t pos = 0;
+  for (auto& c : cmds) {
+    for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
+    nl += c.ins;
+    pos += c.ins + c.cpy;
+    uint32_t sym, nb, ex;
+    EncodeDistance(c.dist, 0, 0, sym, nb, ex);
+    if (sym < kDistAlphabet) { hd[sym]++; ++ndist; }
   }
-  // command-symbol cost model: ~log2(#used commands) + copy extra bits,
-  // amortized insert cost goes into the literal transition
-  const double cmd_base_cost = 8.0;
+  for (uint32_t i = tail ? n - tail : n; i < n; ++i) hl[d[i]]++;
+  double tl = std::max<double>(nl, 1);
+  for (int s = 0; s < 256; ++s)
+    litcost[s] = hl[s] ? std::min(15.0, -std::log2(hl[s] / tl))
+                       : std::min(15.0, std::log2(tl) + 2);
+  double td = std::max<double>(ndist, 1);
+  for (uint32_t s = 0; s < kDistAlphabet; ++s)
+    distcost[s] = hd[s] ? std::min(15.0, -std::log2(hd[s] / td))
+                        : std::min(15.0, std::log2(td) + 4);
+  // empirically tuned flat command-symbol cost (entropy-derived values
+  // over-penalize matches and regress the parse)
+  (void)cmds;
+  *cmd_base_cost = 8.0;
+}
+
+void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
+                      const double* litcost, const double* distcost,
+                      double cmd_base_cost, std::vector<Cmd>& out_cmds,
+                      uint32_t& out_tail) {
   const double lit_step_extra = 0.25;
 
   // hash chains for pass 2
@@ -788,6 +789,24 @@ void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
     pos = start + L;
   }
   out_tail = n - pos;
+}
+
+void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
+                  std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
+  // pass 0: greedy statistics; then iterate the cost model twice, like
+  // the reference's Zopfli iterations (SURVEY §2.11)
+  std::vector<Cmd> cur;
+  uint32_t cur_tail = 0;
+  FindMatches(d, n, max_chain, cur, cur_tail);
+  double litcost[256], distcost[kDistAlphabet], cmd_base = 8.0;
+  for (int it = 0; it < 1; ++it) {
+    CostsFromCommands(d, n, cur, cur_tail, litcost, distcost, &cmd_base);
+    cur.clear();
+    ParseOptimalPass(d, n, max_chain, litcost, distcost, cmd_base, cur,
+                     cur_tail);
+  }
+  out_cmds = std::move(cur);
+  out_tail = cur_tail;
 }
 
 std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
