@@ -25,10 +25,14 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
     "tpu" (device bulk match finding + native serialization), or "auto"
     (cpu). `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc;
     returning True aborts."""
-    if backend == "tpu":
+    if backend in ("tpu", "tpu-full"):
         if dc_params is not None:
             raise NotImplementedError(
                 "preconditioned TPU encode lands in a later round")
+        if backend == "tpu-full":
+            # match finding AND serialization on device (ops/encode_pack)
+            from .ops.encode_pack import encode_stream_tpu_full
+            return encode_stream_tpu_full(data, page_size=page_size)
         from .ops.encode import encode_stream_tpu
         return encode_stream_tpu(data, page_size=page_size)
     if dc_params is None and feedback is None:

@@ -1,0 +1,726 @@
+"""Fully-device Brotli-G page serialization (the encode_pack kernel).
+
+Completes the TPU encode pipeline (SURVEY §7 step 4): given bulk-greedy
+commands (ops/encode.py::find_commands), this packs whole compressed pages
+on the device — histograms, prefix codes, the exact 32-lane round-robin
+schedule and the self-describing size table — with no sequential bit
+writing anywhere:
+
+* code lengths: ceil(-log2 p) is prefix-free by construction (2^-L <= p
+  sums below 1), so no Huffman tree walk is needed; a bounded widen loop
+  absorbs the rare depth-15 clip overflow;
+* tables are stored in complex mode with literal-only RLE (no 16/17 run
+  codes): every table costs its alphabet in cl-coded symbols — a few
+  hundred bits more than run-coded storage, but the item count becomes
+  static, which makes the whole emission schedule a closed form;
+* the literal interleave follows R_k = 32*ceil(cumlit_k/32) — the
+  prev_tail recurrence (PageEncoder.cpp:518-522) has this closed form for
+  full rounds, proven by induction;
+* bit packing: every emission (<=30 bits) contributes to at most two
+  32-bit words; per-stream word values come from a wraparound-safe
+  prefix-sum-and-difference over the sorted contributions, not scatters.
+
+Decoded by all four decoders (oracle, native, TPU, and the reference SDK's
+own decoder in tools/reference_oracle).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import constants as C
+from . import arith_lut
+
+I32 = jnp.int32
+U32 = jnp.uint32
+NBS = 32
+
+A_CMD = C.NUM_COMMAND_SYMBOLS_EFFECTIVE  # 728
+A_DST = C.NUM_DISTANCE_SYMBOLS           # 544
+A_LIT = C.NUM_LITERAL_SYMBOLS            # 256
+CL_ORDER = (1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _rev_bits(v, n):
+    """Bit-reverse the low `n` bits; n is a per-element array (<=15)."""
+    v = v.astype(U32)
+    r = jnp.zeros_like(v)
+    for i in range(15):
+        r = r | (jnp.where(i < n, (v >> i) & 1, 0)
+                 << jnp.maximum(n - 1 - i, 0).astype(U32))
+    return r.astype(I32)
+
+
+def _lengths_from_hist(hist, total):
+    """Kraft-safe code lengths: ceil(log2(total/count)) clipped to [1,15].
+
+    hist: [P, A] int32; total: [P] (>0 where any symbol used).
+    """
+    P, A = hist.shape
+    t = jnp.maximum(total, 1)[:, None]
+    # ceil(log2(t/c)) = bitlength(ceil(t/c) - 1)
+    ratio = (t + jnp.maximum(hist, 1) - 1) // jnp.maximum(hist, 1)
+    bl = jnp.zeros((P, A), I32)
+    x = jnp.maximum(ratio - 1, 0)
+    for s in (16, 8, 4, 2, 1):
+        take = (x >> s) > 0
+        bl = bl + jnp.where(take, s, 0)
+        x = jnp.where(take, x >> s, x)
+    bl = bl + (x > 0)
+    lens = jnp.clip(bl, 1, 15)
+    lens = jnp.where(hist > 0, lens, 0)
+    # widen until Kraft holds (clip at 15 can overflow the budget)
+    for _ in range(15):
+        units = jnp.where(lens > 0, jnp.int32(1) << (15 - lens), 0)
+        over = jnp.sum(units, axis=1) > (1 << 15)
+        lens = jnp.where(over[:, None] & (lens > 0),
+                         jnp.minimum(lens + 1, 15), lens)
+    # refine: ceil(-log2 p) wastes up to 1 bit/symbol; hand the remaining
+    # Kraft slack to the most frequent symbols (greedy, ~2 bits of the
+    # optimum for the heavy symbols that carry most of the output bits)
+    units = jnp.where(lens > 0, jnp.int32(1) << (15 - lens), 0)
+    slack = (1 << 15) - jnp.sum(units, axis=1)
+    # single-pick greedy: repeatedly shorten the heaviest symbol that still
+    # fits the slack (batched by-count variants were tried and regressed —
+    # the right priority is count, one symbol at a time)
+    for _ in range(48):
+        cost = jnp.where(lens > 1, jnp.int32(1) << (15 - lens),
+                         jnp.int32(1) << 20)
+        eligible = (lens > 1) & (cost <= slack[:, None]) & (hist > 0)
+        score = jnp.where(eligible, hist, -1)
+        pick = jnp.argmax(score, axis=1)
+        ok = jnp.take_along_axis(score, pick[:, None], axis=1)[:, 0] > 0
+        picked_cost = jnp.take_along_axis(cost, pick[:, None],
+                                          axis=1)[:, 0]
+        dec = jnp.zeros_like(lens).at[
+            jnp.arange(P), pick].set(ok.astype(I32))
+        lens = lens - dec
+        slack = slack - jnp.where(ok, picked_cost, 0)
+    return lens
+
+
+def _canonical_codes(lens):
+    """Canonical MSB codes per symbol (assigned in symbol order per length),
+    returned bit-reversed for LSB-first writing. lens: [P, A]."""
+    P, A = lens.shape
+    counts = []
+    for l in range(16):
+        counts.append(jnp.sum(lens == l, axis=1))
+    counts = jnp.stack(counts, axis=1)
+    counts = counts.at[:, 0].set(0)
+    first = [jnp.zeros((P,), I32)]
+    for l in range(1, 16):
+        first.append((first[l - 1] + counts[:, l - 1]) << 1)
+    first = jnp.stack(first, axis=1)  # [P, 16]
+    # rank of each symbol within its length class
+    rank = jnp.zeros((P, A), I32)
+    for l in range(1, 16):
+        m = (lens == l).astype(I32)
+        rank = rank + jnp.where(lens == l,
+                                jnp.cumsum(m, axis=1) - 1, 0)
+    code = jnp.take_along_axis(first, jnp.clip(lens, 0, 15), axis=1) + rank
+    return _rev_bits(code, lens), code
+
+
+def _histogram(values, valid, alphabet):
+    """Sorted-values histogram [P, A]; values int32, valid bool (same shape).
+
+    Invalid entries are mapped to `alphabet` and dropped.
+    """
+    P = values.shape[0]
+    v = jnp.where(valid, values, alphabet)
+    sv = jnp.sort(v, axis=1)
+    bounds = jnp.broadcast_to(
+        jnp.arange(alphabet + 1, dtype=I32)[None, :], (P, alphabet + 1))
+    lo = jax.vmap(lambda a, b: jnp.searchsorted(a, b, side="left"))(sv,
+                                                                    bounds)
+    return (lo[:, 1:] - lo[:, :-1]).astype(I32)
+
+
+def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
+    """Per-command wire fields. Returns dict of [P, NT] arrays where
+    NT = max_cmds + 2 (tail insert-only command + sentinel)."""
+    P, S = pages.shape
+    N = ins.shape[1]
+    NT = N + 2
+    cid = jnp.arange(N, dtype=I32)[None, :]
+    valid = cid < ncmds[:, None]
+
+    covered = jnp.sum(ins + cpy, axis=1)
+    tail = in_sizes - covered
+
+    # distance symbols: code 0 when dist equals the previous command's
+    # distance (ring head == previous distance, see ops/encode.py notes),
+    # else absolute long/direct codes with npostfix=0, ndirect=0
+    prev_dist = jnp.concatenate(
+        [jnp.zeros((P, 1), I32), dist[:, :-1]], axis=1)
+    code0 = valid & (dist == prev_dist) & (dist > 0)
+    d = jnp.maximum(dist, 1)
+    hval = d - 1
+    dnb = jnp.zeros((P, N), I32)
+    x = hval + 4
+    for s in (16, 8, 4, 2, 1):
+        take = (x >> s) > 0
+        dnb = dnb + jnp.where(take, s, 0)
+        x = jnp.where(take, x >> s, x)
+    dnb = dnb + (x > 0) - 2          # bitlength(hval+4) - 2
+    b = ((hval + 4) >> dnb) & 1
+    dextra = hval + 4 - ((2 + b) << dnb)
+    dsym_long = 16 + 2 * (dnb - 1) + b
+    dsym = jnp.where(code0, 0, dsym_long)
+    dnbits = jnp.where(code0, 0, dnb)
+    dextra = jnp.where(code0, 0, dextra)
+
+    inscode = jnp.zeros((P, N), I32)
+    # insert length code via arith (vector helper mirrors lut tables)
+    def ins_code(v):
+        r = jnp.where(v < 6, v, 0)
+        nb = jnp.zeros_like(v)
+        x2 = jnp.maximum(v - 2, 1)
+        for s in (16, 8, 4, 2, 1):
+            take = (x2 >> s) > 0
+            nb = nb + jnp.where(take, s, 0)
+            x2 = jnp.where(take, x2 >> s, x2)
+        nb = nb + (x2 > 0) - 2
+        mid = (nb << 1) + ((jnp.maximum(v - 2, 0)) >> jnp.maximum(nb, 0)) + 2
+        nb2 = jnp.zeros_like(v)
+        x3 = jnp.maximum(v - 66, 1)
+        for s in (16, 8, 4, 2, 1):
+            take = (x3 >> s) > 0
+            nb2 = nb2 + jnp.where(take, s, 0)
+            x3 = jnp.where(take, x3 >> s, x3)
+        nb2 = nb2 + (x3 > 0)
+        hi = nb2 + 9
+        r = jnp.where(v < 6, v,
+                      jnp.where(v < 130, mid,
+                                jnp.where(v < 2114, hi,
+                                          jnp.where(v < 6210, 21,
+                                                    jnp.where(v < 22594, 22,
+                                                              23)))))
+        return r
+
+    def cpy_code(v):
+        nb = jnp.zeros_like(v)
+        x2 = jnp.maximum(v - 6, 1)
+        for s in (16, 8, 4, 2, 1):
+            take = (x2 >> s) > 0
+            nb = nb + jnp.where(take, s, 0)
+            x2 = jnp.where(take, x2 >> s, x2)
+        nb = nb + (x2 > 0) - 2
+        mid = (nb << 1) + ((jnp.maximum(v - 6, 0)) >> jnp.maximum(nb, 0)) + 4
+        nb2 = jnp.zeros_like(v)
+        x3 = jnp.maximum(v - 70, 1)
+        for s in (16, 8, 4, 2, 1):
+            take = (x3 >> s) > 0
+            nb2 = nb2 + jnp.where(take, s, 0)
+            x3 = jnp.where(take, x3 >> s, x3)
+        nb2 = nb2 + (x3 > 0)
+        hi = nb2 + 11
+        return jnp.where(v < 10, jnp.maximum(v - 2, 0),
+                         jnp.where(v < 134, mid,
+                                   jnp.where(v < 2118, hi, 23)))
+
+    ic = ins_code(ins)
+    cc = cpy_code(cpy)
+    use_last = code0 & (ic < 8) & (cc < 16)
+    # combine (vector form of CombineLengthCodes)
+    bits64 = (cc & 7) | ((ic & 7) << 3)
+    cell = 2 * ((cc >> 3) + 3 * (ic >> 3))
+    off = (cell << 5) + 0x40 + ((0x520D40 >> jnp.clip(cell, 0, 20)) & 0xC0)
+    prefix_nl = off | bits64
+    prefix_l = jnp.where(cc < 8, bits64, bits64 | 64)
+    prefix = jnp.where(use_last, prefix_l, prefix_nl)
+    store_dist = valid & ~use_last
+
+    ins_bits = arith_lut.insert_extra(ic)
+    ins_base = arith_lut.insert_base(ic)
+    cpy_bits = arith_lut.copy_extra(cc)
+    cpy_base = arith_lut.copy_base(cc)
+    ins_extra = ins - ins_base
+    cpy_extra = jnp.where(cc > 1, cpy - cpy_base, cpy)
+
+    # tail insert-only command + sentinel, represented virtually: command
+    # slot t maps to (t < ncmds: array column t), (t == ncmds & has_tail:
+    # the tail command), else the sentinel — see cmd_field()
+    tail_code = ins_code(tail[:, None])[:, 0]
+    has_tail = tail > 0
+    ntotal = ncmds + 1 + has_tail.astype(I32)
+
+    fields = dict(
+        prefix=(jnp.where(valid, prefix, 0),
+                jnp.where(has_tail, 704 + tail_code, 704),
+                jnp.full((P,), 704, I32)),
+        ins=(jnp.where(valid, ins, 0), tail, jnp.zeros((P,), I32)),
+        cpy=(jnp.where(valid, cpy, 0), jnp.zeros((P,), I32),
+             jnp.zeros((P,), I32)),
+        insb=(jnp.where(valid, ins_bits, 0),
+              jnp.where(has_tail, arith_lut.insert_extra(tail_code), 0),
+              jnp.zeros((P,), I32)),
+        insx=(jnp.where(valid, ins_extra, 0),
+              jnp.where(has_tail, tail - arith_lut.insert_base(tail_code),
+                        0), jnp.zeros((P,), I32)),
+        cpyb=(jnp.where(valid, cpy_bits, 0), jnp.zeros((P,), I32),
+              jnp.zeros((P,), I32)),
+        cpyx=(jnp.where(valid, cpy_extra, 0), jnp.zeros((P,), I32),
+              jnp.zeros((P,), I32)),
+        dsym=(jnp.where(store_dist, dsym, 0), jnp.zeros((P,), I32),
+              jnp.zeros((P,), I32)),
+        dnb=(jnp.where(store_dist, dnbits, 0), jnp.zeros((P,), I32),
+             jnp.zeros((P,), I32)),
+        dx=(jnp.where(store_dist, dextra, 0), jnp.zeros((P,), I32),
+            jnp.zeros((P,), I32)),
+        sdist=(store_dist.astype(I32), jnp.zeros((P,), I32),
+               jnp.zeros((P,), I32)),
+    )
+    return fields, ntotal, tail, has_tail
+
+
+def cmd_field(fields, name, t_idx, ncmds, has_tail):
+    """Virtual gather over [commands..., tail?, sentinel] at slots t_idx.
+
+    t_idx: [P, K] command-slot indices. Out-of-range slots return the
+    sentinel values (harmless: they are masked by the schedule)."""
+    arr, tail_v, sent_v = fields[name]
+    N = arr.shape[1]
+    g = jnp.take_along_axis(arr, jnp.clip(t_idx, 0, N - 1), axis=1)
+    is_tail = has_tail[:, None] & (t_idx == ncmds[:, None])
+    in_arr = t_idx < ncmds[:, None]
+    return jnp.where(in_arr, g,
+                     jnp.where(is_tail, tail_v[:, None], sent_v[:, None]))
+
+
+# ---------------------------------------------------------------------------
+# Emission schedule + bit packing
+# ---------------------------------------------------------------------------
+
+def _bitlen_arr(x):
+    bl = jnp.zeros_like(x)
+    for s in (16, 8, 4, 2, 1):
+        take = (x >> s) > 0
+        bl = bl + jnp.where(take, s, 0)
+        x = jnp.where(take, x >> s, x)
+    return bl + (x > 0)
+
+
+def _table_block(cl_lens, cl_codes, sym_lens, A):
+    """Static emission slots for one table, per stream.
+
+    Returns (nbits [P,32,K], vals [P,32,K]) with
+    K = 2 + ceil(A/32): [header, cl-len, item_0.., item_k].
+    Complex mode, literal-only RLE: item (s,k) encodes symbol a=k*32+s's
+    code length with the cl code.
+    """
+    P = cl_lens.shape[0]
+    kmax = (A + 31) // 32
+    s_idx = jnp.arange(32, dtype=I32)[None, :]
+    cols_n = []
+    cols_v = []
+    # header: tree type 2 + (18-4) in 4 bits, stream 0 only
+    hdr_val = jnp.full((P, 32), 2 | ((18 - 4) << 2), I32)
+    cols_n.append(jnp.broadcast_to(jnp.where(s_idx == 0, 6, 0), (P, 32)))
+    cols_v.append(hdr_val)
+    # cl lengths, 5 bits each, streams 0..17, in CL_ORDER
+    order = jnp.asarray(CL_ORDER, dtype=I32)
+    cl_at = jnp.take_along_axis(
+        cl_lens, jnp.broadcast_to(order[None, :], (P, 18)), axis=1)
+    cl_slot_v = jnp.concatenate([cl_at, jnp.zeros((P, 14), I32)], axis=1)
+    cols_n.append(jnp.broadcast_to(jnp.where(s_idx < 18, 5, 0), (P, 32)))
+    cols_v.append(cl_slot_v)
+    # items: symbol a = k*32 + s
+    for k in range(kmax):
+        a = k * 32 + s_idx  # [1,32] broadcast
+        a_ok = a < A
+        a_c = jnp.clip(a, 0, A - 1)
+        L = jnp.take_along_axis(sym_lens, jnp.broadcast_to(a_c, (P, 32)),
+                                axis=1)
+        n = jnp.take_along_axis(cl_lens, jnp.clip(L, 0, 17), axis=1)
+        v = jnp.take_along_axis(cl_codes, jnp.clip(L, 0, 17), axis=1)
+        cols_n.append(jnp.where(a_ok, n, 0))
+        cols_v.append(jnp.where(a_ok, v, 0))
+    return (jnp.stack(cols_n, axis=2).astype(I32),
+            jnp.stack(cols_v, axis=2).astype(I32))
+
+
+def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
+                      page_size: int, max_cmds: int):
+    """Serialize compressed pages fully on device.
+
+    Returns (out_bytes [P, cap] uint8, out_sizes [P] int32); a page whose
+    compressed size >= its input size must be stored raw by the caller
+    (out_sizes is still the compressed size; caller compares).
+    """
+    P, S = pages.shape
+    N = ins.shape[1]
+    fields, ntotal, tail, has_tail = _build_fields(
+        pages, in_sizes, ins, cpy, dist, ncmds, max_cmds)
+
+    # ---- histograms ----
+    NT = N  # command array width (tail+sentinel virtual)
+    cid = jnp.arange(N, dtype=I32)[None, :]
+    valid = cid < ncmds[:, None]
+    prefix_arr = fields["prefix"][0]
+    hist_cmd = _histogram(prefix_arr, valid, A_CMD)
+    # add tail + sentinel
+    rows = jnp.arange(P, dtype=I32)
+    tail_pref = fields["prefix"][1]
+    hist_cmd = hist_cmd.at[rows, jnp.clip(tail_pref, 0, A_CMD - 1)].add(
+        has_tail.astype(I32))
+    hist_cmd = hist_cmd.at[:, 704].add(1)
+
+    dsym_arr = fields["dsym"][0]
+    sdist_arr = fields["sdist"][0]
+    hist_dst = _histogram(dsym_arr, sdist_arr > 0, A_DST)
+
+    # literal histogram over insert regions + tail
+    pos_idx = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
+    cov = ins + cpy
+    starts = jnp.cumsum(cov, axis=1) - cov          # page pos of cmd start
+    cum_ins = jnp.cumsum(ins, axis=1)               # inclusive
+    # per position: is it a literal (inside an insert region or the tail)?
+    # command covering pos: scatter-max+cummax over starts
+    cmark = jnp.zeros((P, S), I32)
+    spos = jnp.where(valid, jnp.clip(starts, 0, S), S)
+    cmark = cmark.at[rows[:, None], spos].max(
+        jnp.broadcast_to(cid, (P, N)), mode="drop")
+    cmd_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, N - 1)
+    st_of = jnp.take_along_axis(starts, cmd_of, axis=1)
+    ins_of = jnp.take_along_axis(ins, cmd_of, axis=1)
+    covered = fields_covered = jnp.sum(cov, axis=1)
+    in_lit = ((pos_idx < st_of + ins_of)
+              | (pos_idx >= covered[:, None])) & (pos_idx < in_sizes[:, None])
+    hist_lit = _histogram(pages.astype(I32), in_lit, A_LIT)
+    n_lits = jnp.sum(hist_lit, axis=1)
+    most_freq = jnp.argmax(hist_lit, axis=1).astype(I32)
+
+    # ---- code lengths + canonical codes ----
+    cmd_lens = _lengths_from_hist(hist_cmd, jnp.sum(hist_cmd, axis=1))
+    dst_lens = _lengths_from_hist(hist_dst, jnp.sum(hist_dst, axis=1))
+    lit_lens = _lengths_from_hist(hist_lit, n_lits)
+    cmd_codes, _ = _canonical_codes(cmd_lens)
+    dst_codes, _ = _canonical_codes(dst_lens)
+    lit_codes, _ = _canonical_codes(lit_lens)
+
+    # cl trees (depth <= 9): histogram of length VALUES over each alphabet
+    def cl_tree(sym_lens, A):
+        h = _histogram(sym_lens, jnp.ones_like(sym_lens, bool), 18)
+        L = _lengths_from_hist(h, jnp.asarray([A] * P, I32))
+        L = jnp.minimum(L, 9)
+        for _ in range(9):
+            units = jnp.where(L > 0, jnp.int32(1) << (9 - L), 0)
+            over = jnp.sum(units, axis=1) > (1 << 9)
+            L = jnp.where(over[:, None] & (L > 0), jnp.minimum(L + 1, 9), L)
+        codes, _ = _canonical_codes(L)
+        return L, codes
+
+    cl_cmd_l, cl_cmd_c = cl_tree(cmd_lens, A_CMD)
+    cl_dst_l, cl_dst_c = cl_tree(dst_lens, A_DST)
+    cl_lit_l, cl_lit_c = cl_tree(lit_lens, A_LIT)
+
+    # ---- static table emission block ----
+    tb_n = []
+    tb_v = []
+    for cl_l, cl_c, sy_l, A in ((cl_cmd_l, cl_cmd_c, cmd_lens, A_CMD),
+                                (cl_dst_l, cl_dst_c, dst_lens, A_DST),
+                                (cl_lit_l, cl_lit_c, lit_lens, A_LIT)):
+        n, v = _table_block(cl_l, cl_c, sy_l, A)
+        tb_n.append(n)
+        tb_v.append(v)
+    table_n = jnp.concatenate(tb_n, axis=2)
+    table_v = jnp.concatenate(tb_v, axis=2)
+    TBL = table_n.shape[2]
+
+    # ---- round schedule ----
+    R = (max_cmds + 2 + NBS - 1) // NBS
+    slot_ids = jnp.arange(R * NBS, dtype=I32)[None, :]
+    ins_slots = cmd_field(fields, "ins",
+                          jnp.broadcast_to(slot_ids, (P, R * NBS)),
+                          ncmds, has_tail)
+    ins_slots = jnp.where(slot_ids < ntotal[:, None], ins_slots, 0)
+    litcount_r = jnp.sum(ins_slots.reshape(P, R, NBS), axis=2)
+    cumlit = jnp.cumsum(litcount_r, axis=1)
+    eff = jnp.minimum(ntotal, NBS)
+    f_round = (ntotal - 1) // NBS                       # final round index
+    R_full = 32 * ((cumlit + 31) // 32)
+    r_idx = jnp.arange(R, dtype=I32)[None, :]
+    Rf_prev = jnp.where(f_round > 0,
+                        jnp.take_along_axis(
+                            R_full, jnp.maximum(f_round - 1, 0)[:, None],
+                            axis=1)[:, 0], 0)
+    cum_f = jnp.take_along_axis(cumlit, f_round[:, None], axis=1)[:, 0]
+    ac_f = jnp.maximum(cum_f - Rf_prev, 0)
+    e = jnp.maximum(eff, 1)
+    R_final = Rf_prev + e * ((ac_f + e - 1) // e)
+    Rarr = jnp.where(r_idx < f_round[:, None], R_full,
+                     R_final[:, None])
+    Rprev = jnp.concatenate([jnp.zeros((P, 1), I32), Rarr[:, :-1]], axis=1)
+    lits_r = jnp.maximum(Rarr - Rprev, 0)               # [P, R]
+
+    # per-(round, stream) literal counts and slot bases
+    s_ids = jnp.arange(NBS, dtype=I32)[None, None, :]          # [1,1,32]
+    cnt = (jnp.maximum(lits_r[:, :, None] - s_ids, 0) + 31) // 32
+    per_rs = 5 + cnt                                            # [P,R,32]
+    base = jnp.cumsum(per_rs, axis=1) - per_rs                  # exclusive
+    base = jnp.moveaxis(base, 1, 2)                             # [P,32,R]
+    cnt_sr = jnp.moveaxis(cnt, 1, 2)                            # [P,32,R]
+    Rprev_b = Rprev                                             # [P,R]
+
+    lit_cap = page_size + 64
+    Edyn = 6 * R + lit_cap // 32 + 2
+    e_ids = jnp.broadcast_to(jnp.arange(Edyn, dtype=I32)[None, None, :],
+                             (P, NBS, Edyn))
+    r_of = jax.vmap(jax.vmap(
+        lambda b, e: jnp.searchsorted(b, e, side="right")))(base, e_ids)
+    r_of = jnp.clip(r_of - 1, 0, R - 1)
+    base_r = jnp.take_along_axis(base, r_of, axis=2)
+    u = e_ids - base_r
+    cnt_r = jnp.take_along_axis(cnt_sr, r_of, axis=2)
+
+    s_col = jnp.arange(NBS, dtype=I32)[None, :, None]
+    cmd_slot = r_of * NBS + s_col                                # [P,32,E]
+    slot_exists = cmd_slot < ntotal[:, None, None]
+    is_cmd_field = (u < 5) & slot_exists
+    is_lit = (u >= 5) & (u - 5 < cnt_r)
+
+    # ---- literal queue (page bytes of insert regions + tail + padding) ----
+    lit_rank = jnp.cumsum(in_lit.astype(I32), axis=1)           # inclusive
+    q_ids = jnp.broadcast_to(jnp.arange(lit_cap, dtype=I32)[None, :],
+                             (P, lit_cap))
+    lq_pos = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="left"))(lit_rank,
+                                                          q_ids + 1)
+    lq_pos = jnp.clip(lq_pos, 0, S - 1)
+    lq = jnp.take_along_axis(pages.astype(I32), lq_pos, axis=1)
+    lq = jnp.where(q_ids < n_lits[:, None], lq, most_freq[:, None])
+
+    # ---- resolve dynamic slots to (nbits, value) ----
+    def vgather(name):
+        flat = cmd_slot.reshape(P, NBS * Edyn)
+        g = cmd_field(fields, name, flat, ncmds, has_tail)
+        return g.reshape(P, NBS, Edyn)
+
+    pfx = vgather("prefix")
+    pfx_c = jnp.clip(pfx, 0, A_CMD - 1)
+    code_n = jnp.take_along_axis(
+        cmd_lens, pfx_c.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+    code_v = jnp.take_along_axis(
+        cmd_codes, pfx_c.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+    insb = vgather("insb")
+    insx = vgather("insx")
+    cpyb = vgather("cpyb")
+    cpyx = vgather("cpyx")
+    sd = vgather("sdist")
+    dsymg = jnp.clip(vgather("dsym"), 0, A_DST - 1)
+    dln = jnp.where(sd > 0, jnp.take_along_axis(
+        dst_lens, dsymg.reshape(P, -1), axis=1).reshape(P, NBS, Edyn), 0)
+    dcv = jnp.take_along_axis(
+        dst_codes, dsymg.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+    dnbg = vgather("dnb")
+    dxg = vgather("dx")
+
+    # literal slot values
+    Rprev_bc = jnp.broadcast_to(Rprev_b[:, None, :], (P, NBS, R))
+    j_global = (jnp.take_along_axis(Rprev_bc, r_of, axis=2)
+                + (u - 5) * NBS + s_col)
+    j_c = jnp.clip(j_global, 0, lit_cap - 1)
+    lbyte = jnp.take_along_axis(
+        lq, j_c.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+    lit_n = jnp.take_along_axis(
+        lit_lens, lbyte.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+    lit_v = jnp.take_along_axis(
+        lit_codes, lbyte.reshape(P, -1), axis=1).reshape(P, NBS, Edyn)
+
+    nb = jnp.where(is_cmd_field & (u == 0), code_n, 0)
+    vv = jnp.where(is_cmd_field & (u == 0), code_v, 0)
+    nb = jnp.where(is_cmd_field & (u == 1), insb, nb)
+    vv = jnp.where(is_cmd_field & (u == 1), insx, vv)
+    nb = jnp.where(is_cmd_field & (u == 2), cpyb, nb)
+    vv = jnp.where(is_cmd_field & (u == 2), cpyx, vv)
+    nb = jnp.where(is_cmd_field & (u == 3), dln, nb)
+    vv = jnp.where(is_cmd_field & (u == 3), dcv, vv)
+    nb = jnp.where(is_cmd_field & (u == 4), jnp.where(sd > 0, dnbg, 0), nb)
+    vv = jnp.where(is_cmd_field & (u == 4), dxg, vv)
+    nb = jnp.where(is_lit, lit_n, nb)
+    vv = jnp.where(is_lit, lit_v, vv)
+
+    # prepend the static table block
+    nbits_all = jnp.concatenate([table_n, nb], axis=2)
+    vals_all = jnp.concatenate([table_v, vv], axis=2)
+    E = nbits_all.shape[2]
+
+    # ---- bit packing per stream ----
+    offs = jnp.cumsum(nbits_all, axis=2) - nbits_all            # exclusive
+    stream_bits = offs[:, :, -1] + nbits_all[:, :, -1]
+    sh = (offs & 31).astype(U32)
+    valu = vals_all.astype(U32)
+    contrib_a = (valu << sh).astype(U32)
+    contrib_b = jnp.where(sh == 0, jnp.uint32(0),
+                          valu >> (jnp.uint32(32) - sh))
+    widx_a = offs >> 5
+    widx_b = (offs >> 5) + 1
+    # empty emissions must not contribute
+    contrib_a = jnp.where(nbits_all > 0, contrib_a, 0)
+    contrib_b = jnp.where(nbits_all > 0, contrib_b, 0)
+
+    Wst = (page_size // NBS) // 4 * 3 + 16
+    w_ids = jnp.broadcast_to(jnp.arange(Wst + 1, dtype=I32)[None, None, :],
+                             (P, NBS, Wst + 1))
+
+    def word_sum(contrib, widx):
+        csum = jnp.cumsum(contrib.astype(U32), axis=2)  # wraparound-safe
+        bound = jax.vmap(jax.vmap(
+            lambda wi, w: jnp.searchsorted(wi, w, side="left")))(widx, w_ids)
+        bz = jnp.concatenate(
+            [jnp.zeros((P, NBS, 1), U32), csum], axis=2)
+        at = jnp.take_along_axis(bz, bound, axis=2)
+        return at[:, :, 1:] - at[:, :, :-1]
+
+    words_a = word_sum(contrib_a, widx_a)
+    words_b = word_sum(contrib_b, widx_b)
+    stream_words = (words_a + words_b).astype(U32)              # [P,32,Wst]
+    overflow = stream_bits > 32 * Wst
+
+    # ---- page header + size table (BrotligSwizzler.cpp:68-142 fixed point)
+    stream_bytes = (stream_bits + 7) // 8                       # [P,32]
+    tot_sb = jnp.sum(stream_bytes, axis=1)
+    mn_sb = jnp.min(stream_bytes, axis=1)
+    off_sb = stream_bytes - mn_sb[:, None]
+    delta_bits = jnp.maximum(jnp.max(_bitlen_arr(off_sb), axis=1), 1)
+
+    hdr_bits0 = jnp.full((P,), 8, I32)  # page header byte
+    est = ((hdr_bits0 + 7) // 8 + 3) // 4 * 4 + tot_sb
+    base_bits = jnp.zeros((P,), I32)
+    dbs_bits = jnp.zeros((P,), I32)
+    for _ in range(6):  # fixed point converges in <= a few steps
+        r_avg = (est + 31) // 32
+        base_bits = _bitlen_arr(r_avg[:, None])[:, 0]
+        dbs_bits = _bitlen_arr(
+            _bitlen_arr(jnp.maximum(est - 1, 1)[:, None]))[:, 0]
+        nh = hdr_bits0 + base_bits + dbs_bits + NBS * delta_bits
+        est = ((nh + 7) // 8 + 3) // 4 * 4 + tot_sb
+
+    hdr_total_bits = hdr_bits0 + base_bits + dbs_bits + NBS * delta_bits
+    hdr_words_n = ((hdr_total_bits + 31) // 32)
+    HW = 8 + (2 + NBS * 20 + 40) // 32  # static bound on header words (<=30)
+    HW = 24
+    hdr_words = jnp.zeros((P, HW), U32)
+
+    def hput(words, bitoff, nbits, value):
+        """Insert one variable-width field per page into the header words."""
+        w = bitoff >> 5
+        shl = (bitoff & 31).astype(U32)
+        v = value.astype(U32) & jnp.where(
+            nbits >= 32, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << nbits.astype(U32)) - 1)
+        rowsh = jnp.arange(P, dtype=I32)
+        words = words.at[rowsh, jnp.clip(w, 0, HW - 1)].add(
+            jnp.where(nbits > 0, v << shl, 0))
+        spill = jnp.where(shl > 0, v >> (jnp.uint32(32) - shl),
+                          jnp.uint32(0))
+        words = words.at[rowsh, jnp.clip(w + 1, 0, HW - 1)].add(
+            jnp.where(nbits > 0, spill, 0))
+        return words, bitoff + nbits
+
+    zero = jnp.zeros((P,), I32)
+    bo = zero
+    hdr_words, bo = hput(hdr_words, bo, jnp.full((P,), 8, I32), zero)
+    # page header byte: npostfix=0, ndirect=0, isdelta=0 (all zeros)
+    hdr_words, bo = hput(hdr_words, bo, base_bits, mn_sb)
+    hdr_words, bo = hput(hdr_words, bo, dbs_bits, delta_bits)
+    for s in range(NBS):
+        hdr_words, bo = hput(hdr_words, bo, delta_bits, off_sb[:, s])
+    hdr_bytes = hdr_words_n * 4
+
+    # ---- assemble: header words + concatenated streams, DWORD padded ----
+    out_total = hdr_bytes + ((tot_sb + 3) // 4) * 4
+    cap = page_size  # >= input means raw anyway
+    sb_prefix = jnp.concatenate(
+        [jnp.zeros((P, 1), I32), jnp.cumsum(stream_bytes, axis=1)], axis=1)
+    b_ids = jnp.broadcast_to(jnp.arange(cap, dtype=I32)[None, :], (P, cap))
+    pay_b = b_ids - hdr_bytes[:, None]
+    strm_of = jax.vmap(
+        lambda pre, b: jnp.searchsorted(pre, b, side="right"))(sb_prefix,
+                                                               pay_b)
+    strm_of = jnp.clip(strm_of - 1, 0, NBS - 1)
+    in_strm = pay_b - jnp.take_along_axis(sb_prefix, strm_of, axis=1)
+    # byte from stream words
+    sw_flat = stream_words.reshape(P, NBS * Wst)
+    widx = jnp.clip(strm_of * Wst + (in_strm >> 2), 0, NBS * Wst - 1)
+    wval = jnp.take_along_axis(sw_flat, widx, axis=1)
+    pay_byte = (wval >> ((in_strm & 3) << 3).astype(U32)) & 0xFF
+    hw_byte = jnp.take_along_axis(
+        hdr_words, jnp.clip(b_ids >> 2, 0, HW - 1), axis=1)
+    hdr_byte = (hw_byte >> ((b_ids & 3) << 3).astype(U32)) & 0xFF
+    out = jnp.where(b_ids < hdr_bytes[:, None], hdr_byte,
+                    jnp.where(pay_b < ((tot_sb[:, None] + 3) // 4) * 4,
+                              pay_byte, 0)).astype(jnp.uint8)
+    bad = jnp.any(overflow, axis=1)
+    out_sizes = jnp.where(bad, page_size + 1, out_total)
+    return out, out_sizes.astype(I32)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pack_jit(pages, in_sizes, page_size, max_cmds, ins, cpy, dist, ncmds):
+    return pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
+                             page_size, max_cmds)
+
+
+def encode_pages_device(pages_np, in_sizes_np, page_size: int):
+    """Device end-to-end page encode: bulk matcher + device serializer.
+
+    Returns (list of page blobs, raw flags): blob is the compressed page or
+    the raw page bytes when not smaller.
+    """
+    from .encode import find_commands
+    max_cmds = page_size // 8 + 16   # bulk-greedy commands cover >=4 bytes
+    pages = jnp.asarray(pages_np)
+    in_sizes = jnp.asarray(in_sizes_np)
+    ins, cpy, dist, ncmds = find_commands(pages, in_sizes, max_cmds)
+    out, sizes = _pack_jit(pages, in_sizes, page_size, max_cmds,
+                           ins, cpy, dist, ncmds)
+    out_np = np.asarray(out)
+    sizes_np = np.asarray(sizes)
+    blobs = []
+    for i in range(pages_np.shape[0]):
+        n = int(in_sizes_np[i])
+        sz = int(sizes_np[i])
+        if sz >= n:
+            blobs.append(pages_np[i, :n].tobytes())
+        else:
+            blobs.append(out_np[i, :sz].tobytes())
+    return blobs
+
+
+def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
+                           batch_pages: int = 64) -> bytes:
+    """Container encode with BOTH match finding and serialization on device
+    (the native packer is not involved)."""
+    from ..format.headers import StreamHeader, pack_page_table
+
+    if not (C.MIN_PAGE_SIZE <= page_size <= C.MAX_PAGE_SIZE):
+        raise ValueError("page size out of range")
+    header = StreamHeader.for_input(len(data), page_size, False)
+    if len(data) == 0:
+        return header.pack()
+    num_pages = header.num_pages
+
+    pages_out = []
+    for c0 in range(0, num_pages, batch_pages):
+        group = list(range(c0, min(c0 + batch_pages, num_pages)))
+        Pb = len(group)
+        arr = np.zeros((Pb, page_size), dtype=np.uint8)
+        sizes = np.zeros(Pb, dtype=np.int32)
+        for row, i in enumerate(group):
+            chunk = data[i * page_size: (i + 1) * page_size]
+            arr[row, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+            sizes[row] = len(chunk)
+        pages_out.extend(encode_pages_device(arr, sizes, page_size))
+
+    out = bytearray()
+    out += header.pack()
+    out += pack_page_table([len(p) for p in pages_out])
+    for p in pages_out:
+        out += p
+    return bytes(out)
