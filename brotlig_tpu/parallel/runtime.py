@@ -33,14 +33,19 @@ def process_info():
         return 0, 1
 
 
-def my_archive_indices(n_archives: int) -> list[int]:
-    """Static interleaved assignment of archives to this process."""
-    pid, nproc = process_info()
+def my_archive_indices(n_archives: int, process=None) -> list[int]:
+    """Static interleaved assignment of archives to this process.
+
+    `process=(pid, nprocs)` overrides auto-detection (jax.distributed is
+    not available under every launcher; an MPI-style runner passes its own
+    identity)."""
+    pid, nproc = process if process is not None else process_info()
     return list(range(pid, n_archives, nproc))
 
 
 def decode_archives(blobs: Sequence[bytes],
-                    batch_pages: int = 256) -> dict[int, bytes]:
+                    batch_pages: int = 256,
+                    process=None) -> dict[int, bytes]:
     """Decode this process's share of `blobs`.
 
     Returns {archive_index: decompressed bytes} for locally-owned archives;
@@ -50,7 +55,7 @@ def decode_archives(blobs: Sequence[bytes],
     traffic) or all-gather small results.
     """
     out: dict[int, bytes] = {}
-    for i in my_archive_indices(len(blobs)):
+    for i in my_archive_indices(len(blobs), process):
         out[i] = decode_stream_jax(blobs[i], batch_pages=batch_pages)
     return out
 

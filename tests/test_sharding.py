@@ -108,3 +108,41 @@ class TestArchives:
             monkeypatch.setattr(runtime, "process_info", lambda p=pid: (p, 3))
             seen.extend(runtime.my_archive_indices(10))
         assert sorted(seen) == list(range(10))
+
+    def test_two_process_distributed_decode(self, tmp_path):
+        """Real multi-process run: 2 workers with explicit identities decode
+        disjoint archive subsets (BASELINE config 5's orchestration)."""
+        import pickle
+        import subprocess
+        import sys as _sys
+        from brotlig_tpu import native
+        datas = [make_data("text", 40_000 + i * 4000, seed=80 + i)
+                 for i in range(5)]
+        blobs = [native.encode(d, page_size=32768) for d in datas]
+        (tmp_path / "blobs.pkl").write_bytes(pickle.dumps(blobs))
+        worker = tmp_path / "worker.py"
+        worker.write_text(f"""
+import pickle, sys
+import jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+sys.path.insert(0, {str(C.__file__.rsplit('/brotlig_tpu/', 1)[0])!r})
+from brotlig_tpu.utils import jaxcache
+jaxcache.enable()
+from brotlig_tpu.parallel.runtime import decode_archives
+pid = int(sys.argv[1])
+blobs = pickle.loads(open({str(tmp_path / 'blobs.pkl')!r}, 'rb').read())
+outs = decode_archives(blobs, batch_pages=2, process=(pid, 2))
+open({str(tmp_path)!r} + f"/out_{{pid}}.pkl", "wb").write(
+    pickle.dumps(outs))
+""")
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i)])
+                 for i in range(2)]
+        for p in procs:
+            assert p.wait(timeout=500) == 0
+        o0 = pickle.loads((tmp_path / "out_0.pkl").read_bytes())
+        o1 = pickle.loads((tmp_path / "out_1.pkl").read_bytes())
+        assert set(o0) & set(o1) == set()
+        merged = {**o0, **o1}
+        assert sorted(merged) == list(range(5))
+        for i, d in enumerate(datas):
+            assert merged[i] == d
