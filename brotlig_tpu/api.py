@@ -26,15 +26,14 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
     (cpu). `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc;
     returning True aborts."""
     if backend in ("tpu", "tpu-full"):
-        if dc_params is not None:
-            raise NotImplementedError(
-                "preconditioned TPU encode lands in a later round")
         if backend == "tpu-full":
             # match finding AND serialization on device (ops/encode_pack)
             from .ops.encode_pack import encode_stream_tpu_full
-            return encode_stream_tpu_full(data, page_size=page_size)
+            return encode_stream_tpu_full(data, page_size=page_size,
+                                          dc_params=dc_params)
         from .ops.encode import encode_stream_tpu
-        return encode_stream_tpu(data, page_size=page_size)
+        return encode_stream_tpu(data, page_size=page_size,
+                                 dc_params=dc_params)
     if dc_params is None and feedback is None:
         try:
             from . import native

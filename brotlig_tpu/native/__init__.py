@@ -61,7 +61,7 @@ def _load():
             lib.blg_encode_page_cmds.restype = ctypes.c_int
             lib.blg_encode_page_cmds.argtypes = [
                 ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
-                u32p, u32p, u32p, ctypes.c_uint64,
+                ctypes.c_int, u32p, u32p, u32p, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint64)]
             _lib = lib
@@ -127,7 +127,8 @@ def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
     return bytes(bytearray(out)[: out_size.value])
 
 
-def encode_page_cmds(data: bytes, is_last: bool, ins, cpy, dist) -> bytes:
+def encode_page_cmds(data: bytes, is_last: bool, ins, cpy, dist,
+                     isdelta: bool = False) -> bytes:
     """Serialize one page from external (ins, cpy, dist) command arrays.
 
     Returns the compressed page, or the raw page bytes when incompressible
@@ -143,8 +144,8 @@ def encode_page_cmds(data: bytes, is_last: bool, ins, cpy, dist) -> bytes:
     ins = np.ascontiguousarray(ins, dtype=np.uint32)
     cpy = np.ascontiguousarray(cpy, dtype=np.uint32)
     dist = np.ascontiguousarray(dist, dtype=np.uint32)
-    rc = lib.blg_encode_page_cmds(data, n, int(is_last), ins, cpy, dist,
-                                  len(ins), out, cap,
+    rc = lib.blg_encode_page_cmds(data, n, int(is_last), int(isdelta),
+                                  ins, cpy, dist, len(ins), out, cap,
                                   ctypes.byref(out_size))
     if rc != 0:
         raise ValueError(f"native page encode failed (rc={rc})")

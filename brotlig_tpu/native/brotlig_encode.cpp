@@ -429,7 +429,8 @@ void EncodeDistance(uint32_t dist, uint32_t npostfix, uint32_t ndirect,
 std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
                                             bool is_last,
                                             std::vector<Cmd>& cmds,
-                                            uint32_t tail) {
+                                            uint32_t tail,
+                                            bool isdelta = false) {
   // compressibility gate (PageEncoder.cpp:60-85 semantics)
   {
     uint64_t nlits = tail;
@@ -615,7 +616,7 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
 
   w.header.Write(2, npostfix);
   w.header.Write(4, ndirect >> npostfix);
-  w.header.Write(1, 0);  // isdelta (conditioned paths use the python layer)
+  w.header.Write(1, isdelta ? 1 : 0);
   w.header.Write(1, 0);
   std::vector<uint8_t> out = w.Serialize();
   if (out.size() >= n) return {};
@@ -838,9 +839,10 @@ extern "C" {
 // matcher). The page is stored raw when not compressible (signalled by
 // *out_size == n). Returns 0 on success.
 int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
-                         const uint32_t* ins, const uint32_t* cpy,
-                         const uint32_t* dist, uint64_t ncmds, uint8_t* dst,
-                         uint64_t cap, uint64_t* out_size) {
+                         int isdelta, const uint32_t* ins,
+                         const uint32_t* cpy, const uint32_t* dist,
+                         uint64_t ncmds, uint8_t* dst, uint64_t cap,
+                         uint64_t* out_size) {
   std::vector<Cmd> cmds;
   cmds.reserve(ncmds);
   uint64_t covered = 0;
@@ -854,7 +856,8 @@ int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
   }
   uint32_t tail = static_cast<uint32_t>(n - covered);
   std::vector<uint8_t> comp = EncodePageFromCommands(
-      data, static_cast<uint32_t>(n), is_last != 0, cmds, tail);
+      data, static_cast<uint32_t>(n), is_last != 0, cmds, tail,
+      isdelta != 0);
   if (comp.empty() || comp.size() >= n) {
     if (n > cap) return 3;
     std::memcpy(dst, data, n);

@@ -194,25 +194,38 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
 # ---------------------------------------------------------------------------
 
 def encode_stream_tpu(data: bytes, page_size: int = 65536,
-                      batch_pages: int = 64) -> bytes:
+                      batch_pages: int = 64, dc_params=None) -> bytes:
     """Compress a container with TPU bulk match finding.
 
     The LZ77 parse (the encode hot loop) runs batched on the device; the
     per-page entropy coding and swizzle serialization run in the native C++
     packer. Ratio is slightly below the CPU path (greedy, 64-byte match cap
-    except runs) — see ops/encode.py docstring.
-    """
+    except runs) — see ops/encode.py docstring. `dc_params` enables BCn
+    preconditioning (condition gather + delta on device)."""
     from ..format import constants as C
-    from ..format.headers import StreamHeader, pack_page_table
+    from ..format.headers import (PreconditionHeader, StreamHeader,
+                                  pack_page_table)
     from .. import native
 
     if not (C.MIN_PAGE_SIZE <= page_size <= C.MAX_PAGE_SIZE):
         raise ValueError("page size out of range")
-    header = StreamHeader.for_input(len(data), page_size, False)
+    precondition = dc_params is not None and dc_params.precondition
+    if precondition and not dc_params.initialize(len(data)):
+        precondition = False  # geometry mismatch: downgrade (ref behavior)
+    header = StreamHeader.for_input(len(data), page_size, precondition)
     if len(data) == 0:
         return header.pack()
     num_pages = header.num_pages
     max_cmds = page_size // 2 + 2
+
+    raw_form = data
+    isdelta_flags = [False] * num_pages
+    if precondition:
+        from .precondition import preprocess_device
+        raw_form, work, isdelta_flags = preprocess_device(
+            data, dc_params, page_size)
+    else:
+        work = data
 
     pages_out = []
     for c0 in range(0, num_pages, batch_pages):
@@ -221,7 +234,7 @@ def encode_stream_tpu(data: bytes, page_size: int = 65536,
         arr = np.zeros((Pb, page_size), dtype=np.uint8)
         sizes = np.zeros(Pb, dtype=np.int32)
         for row, i in enumerate(group):
-            chunk = data[i * page_size: (i + 1) * page_size]
+            chunk = work[i * page_size: (i + 1) * page_size]
             arr[row, : len(chunk)] = np.frombuffer(chunk, np.uint8)
             sizes[row] = len(chunk)
         ins, cpy, dist, ncmds = find_commands(
@@ -235,9 +248,14 @@ def encode_stream_tpu(data: bytes, page_size: int = 65536,
             row, i = row_i
             n = int(sizes[row])
             k = int(nc_n[row])
-            return native.encode_page_cmds(
+            blob = native.encode_page_cmds(
                 arr[row, :n].tobytes(), i == num_pages - 1,
-                ins_n[row, :k], cpy_n[row, :k], dist_n[row, :k])
+                ins_n[row, :k], cpy_n[row, :k], dist_n[row, :k],
+                isdelta=isdelta_flags[i])
+            if len(blob) == n:
+                # raw fallback stores the non-delta conditioned bytes
+                blob = raw_form[i * page_size: i * page_size + n]
+            return blob
 
         # native packing is page-parallel (the device matcher is async, so
         # the next batch's match finding overlaps this packing)
@@ -247,6 +265,16 @@ def encode_stream_tpu(data: bytes, page_size: int = 65536,
 
     out = bytearray()
     out += header.pack()
+    if precondition:
+        out += PreconditionHeader(
+            swizzled=dc_params.swizzle,
+            pitch_d3d12_aligned=dc_params.pitch_d3d12_aligned,
+            width_in_blocks=dc_params.width_in_blocks[0],
+            height_in_blocks=dc_params.height_in_blocks[0],
+            data_format=dc_params.format,
+            num_mips=dc_params.num_mip_levels,
+            pitch_in_bytes=dc_params.pitch_in_bytes[0],
+        ).pack()
     out += pack_page_table([len(p) for p in pages_out])
     for p in pages_out:
         out += p

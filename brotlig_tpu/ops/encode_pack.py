@@ -345,12 +345,13 @@ def _table_block(cl_lens, cl_codes, sym_lens, A):
 
 
 def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
-                      page_size: int, max_cmds: int):
+                      page_size: int, max_cmds: int, isdelta=None):
     """Serialize compressed pages fully on device.
 
     Returns (out_bytes [P, cap] uint8, out_sizes [P] int32); a page whose
     compressed size >= its input size must be stored raw by the caller
     (out_sizes is still the compressed size; caller compares).
+    isdelta: optional [P] int32 delta-encoded flags for the page header byte.
     """
     P, S = pages.shape
     N = ins.shape[1]
@@ -625,8 +626,10 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
 
     zero = jnp.zeros((P,), I32)
     bo = zero
-    hdr_words, bo = hput(hdr_words, bo, jnp.full((P,), 8, I32), zero)
-    # page header byte: npostfix=0, ndirect=0, isdelta=0 (all zeros)
+    # page header byte LSB-first: npostfix(2)=0, ndist(4)=0, isdelta(1),
+    # reserved(1)=0 (format/constants.py:44-47)
+    hdr_byte0 = zero if isdelta is None else (isdelta.astype(I32) & 1) << 6
+    hdr_words, bo = hput(hdr_words, bo, jnp.full((P,), 8, I32), hdr_byte0)
     hdr_words, bo = hput(hdr_words, bo, base_bits, mn_sb)
     hdr_words, bo = hput(hdr_words, bo, dbs_bits, delta_bits)
     for s in range(NBS):
@@ -662,64 +665,104 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _pack_jit(pages, in_sizes, page_size, max_cmds, ins, cpy, dist, ncmds):
+def _pack_jit(pages, in_sizes, page_size, max_cmds, ins, cpy, dist, ncmds,
+              isdelta):
     return pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
-                             page_size, max_cmds)
+                             page_size, max_cmds, isdelta)
 
 
-def encode_pages_device(pages_np, in_sizes_np, page_size: int):
+def encode_pages_device(pages_np, in_sizes_np, page_size: int,
+                        isdelta_np=None, raw_pages_np=None):
     """Device end-to-end page encode: bulk matcher + device serializer.
 
-    Returns (list of page blobs, raw flags): blob is the compressed page or
-    the raw page bytes when not smaller.
+    Returns a list of page blobs: the compressed page, or the raw page
+    bytes when not smaller. For preconditioned streams pages_np holds the
+    delta-encoded form and raw_pages_np the conditioned non-delta form the
+    raw fallback must store (the decoder skips delta decode on raw pages).
     """
     from .encode import find_commands
     max_cmds = page_size // 8 + 16   # bulk-greedy commands cover >=4 bytes
     pages = jnp.asarray(pages_np)
     in_sizes = jnp.asarray(in_sizes_np)
     ins, cpy, dist, ncmds = find_commands(pages, in_sizes, max_cmds)
+    if isdelta_np is None:
+        isdelta_np = np.zeros(pages_np.shape[0], dtype=np.int32)
     out, sizes = _pack_jit(pages, in_sizes, page_size, max_cmds,
-                           ins, cpy, dist, ncmds)
+                           ins, cpy, dist, ncmds,
+                           jnp.asarray(isdelta_np, dtype=jnp.int32))
     out_np = np.asarray(out)
     sizes_np = np.asarray(sizes)
+    raw_src = pages_np if raw_pages_np is None else raw_pages_np
     blobs = []
     for i in range(pages_np.shape[0]):
         n = int(in_sizes_np[i])
         sz = int(sizes_np[i])
         if sz >= n:
-            blobs.append(pages_np[i, :n].tobytes())
+            blobs.append(raw_src[i, :n].tobytes())
         else:
             blobs.append(out_np[i, :sz].tobytes())
     return blobs
 
 
 def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
-                           batch_pages: int = 64) -> bytes:
+                           batch_pages: int = 64,
+                           dc_params=None) -> bytes:
     """Container encode with BOTH match finding and serialization on device
-    (the native packer is not involved)."""
-    from ..format.headers import StreamHeader, pack_page_table
+    (the native packer is not involved). `dc_params` enables BCn
+    preconditioning: the condition gather + per-page delta also run on
+    device (ops/precondition.py::preprocess_device)."""
+    from ..format.headers import (PreconditionHeader, StreamHeader,
+                                  pack_page_table)
 
     if not (C.MIN_PAGE_SIZE <= page_size <= C.MAX_PAGE_SIZE):
         raise ValueError("page size out of range")
-    header = StreamHeader.for_input(len(data), page_size, False)
+    precondition = dc_params is not None and dc_params.precondition
+    if precondition and not dc_params.initialize(len(data)):
+        precondition = False  # geometry mismatch: downgrade (ref behavior)
+    header = StreamHeader.for_input(len(data), page_size, precondition)
     if len(data) == 0:
         return header.pack()
     num_pages = header.num_pages
+
+    raw_form = data
+    isdelta_flags = [False] * num_pages
+    if precondition:
+        from .precondition import preprocess_device
+        raw_form, work, isdelta_flags = preprocess_device(
+            data, dc_params, page_size)
+    else:
+        work = data
 
     pages_out = []
     for c0 in range(0, num_pages, batch_pages):
         group = list(range(c0, min(c0 + batch_pages, num_pages)))
         Pb = len(group)
         arr = np.zeros((Pb, page_size), dtype=np.uint8)
+        raw = np.zeros((Pb, page_size), dtype=np.uint8)
         sizes = np.zeros(Pb, dtype=np.int32)
+        isdelta = np.zeros(Pb, dtype=np.int32)
         for row, i in enumerate(group):
-            chunk = data[i * page_size: (i + 1) * page_size]
+            chunk = work[i * page_size: (i + 1) * page_size]
             arr[row, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+            rchunk = raw_form[i * page_size: (i + 1) * page_size]
+            raw[row, : len(rchunk)] = np.frombuffer(rchunk, np.uint8)
             sizes[row] = len(chunk)
-        pages_out.extend(encode_pages_device(arr, sizes, page_size))
+            isdelta[row] = int(isdelta_flags[i])
+        pages_out.extend(encode_pages_device(arr, sizes, page_size,
+                                             isdelta, raw))
 
     out = bytearray()
     out += header.pack()
+    if precondition:
+        out += PreconditionHeader(
+            swizzled=dc_params.swizzle,
+            pitch_d3d12_aligned=dc_params.pitch_d3d12_aligned,
+            width_in_blocks=dc_params.width_in_blocks[0],
+            height_in_blocks=dc_params.height_in_blocks[0],
+            data_format=dc_params.format,
+            num_mips=dc_params.num_mip_levels,
+            pitch_in_bytes=dc_params.pitch_in_bytes[0],
+        ).pack()
     out += pack_page_table([len(p) for p in pages_out])
     for p in pages_out:
         out += p

@@ -42,6 +42,59 @@ def _gather_u8(data_u8, idx, valid):
     return jnp.where(valid, out, 0).astype(jnp.uint8)
 
 
+@jax.jit
+def _delta_encode_device(data_u8, start_mark, in_span):
+    """Inverse of _delta_decode_device: per-span byte differences.
+
+    Ref PageEncoder.cpp:576-612 walks each color span serially; here it is
+    one shifted subtraction, keeping each span's first byte verbatim."""
+    x = data_u8.astype(I32)
+    prev = jnp.concatenate([jnp.zeros(1, I32), x[:-1]])
+    d = (x - prev) & 255
+    keep = (~in_span) | start_mark
+    return jnp.where(keep, x, d).astype(jnp.uint8)
+
+
+def preprocess_device(data: bytes, params: DataConditionParams,
+                      page_size: int):
+    """Condition (forward gather) + per-page delta encode on device.
+
+    The encode-side mirror of postprocess_device. Returns
+    (conditioned bytes, delta-encoded bytes, per-page isdelta flags):
+    pages feed the encoder from the delta form, but a raw-page fallback
+    must store the conditioned NON-delta bytes (the decoder only
+    delta-decodes compressed pages — ref PageDecoder.cpp:70-76).
+    """
+    n = len(data)
+    x = jnp.asarray(np.frombuffer(data, np.uint8))
+
+    cond_map = build_cond_map(params)
+    m = len(cond_map)
+    idx = np.zeros(n, dtype=np.int32)
+    idx[:m] = cond_map
+    valid = np.zeros(n, dtype=bool)
+    valid[:m] = True
+    cond = _gather_u8(x, jnp.asarray(idx), jnp.asarray(valid))
+
+    num_pages = (n + page_size - 1) // page_size
+    isdelta = [False] * num_pages
+    delta = cond
+    if params.delta_encode:
+        spans = delta_spans(params, n, page_size)
+        if spans:
+            start_mark = np.zeros(n, dtype=bool)
+            cover = np.zeros(n + 1, dtype=np.int32)
+            for s, e in spans:
+                start_mark[s] = True
+                cover[s] += 1
+                cover[e] -= 1
+                isdelta[s // page_size] = True
+            in_span = np.cumsum(cover[:-1]) > 0
+            delta = _delta_encode_device(cond, jnp.asarray(start_mark),
+                                         jnp.asarray(in_span))
+    return (np.asarray(cond).tobytes(), np.asarray(delta).tobytes(), isdelta)
+
+
 def delta_spans(params: DataConditionParams, total: int, page_size: int):
     """Absolute (start, end) delta spans: color-substream x page overlaps."""
     spans = []

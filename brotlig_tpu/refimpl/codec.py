@@ -31,8 +31,11 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
     input_size = len(data)
 
     precondition = dc_params is not None and dc_params.precondition
+    if precondition and not dc_params.initialize(input_size):
+        # geometry does not describe this input: downgrade to plain encode
+        # (ref: BrotligEncoder.cpp conditioning failure path)
+        precondition = False
     if precondition:
-        dc_params.initialize(input_size)
         work = condition(data, dc_params)
     else:
         work = bytes(data)

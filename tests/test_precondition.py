@@ -185,3 +185,89 @@ class TestEndToEnd:
         blob = encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p)
         out = decode(blob)
         assert out == data
+
+
+class TestDeviceEncode:
+    """Preconditioned encode on the TPU backends (ops/precondition.py::
+    preprocess_device feeding ops/encode.py and ops/encode_pack.py)."""
+
+    def _texture(self, fmt, w, h, mips, seed=0, random=False):
+        bb = C.BCN_GEOMETRY[fmt]["block_bytes"]
+        bp = C.BCN_GEOMETRY[fmt]["block_pixels"]
+        size = 0
+        wb0 = (w + bp - 1) // bp
+        hb0 = (h + bp - 1) // bp
+        size += wb0 * bb * hb0
+        mw, mh = (wb0 * bp) // 2, (hb0 * bp) // 2
+        for m in range(1, mips):
+            wb = (mw + bp - 1) // bp
+            hb = (mh + bp - 1) // bp
+            size += wb * bb * hb
+            mw //= 2
+            mh //= 2
+        rng = np.random.default_rng(seed)
+        if random:
+            return rng.integers(0, 256, size=size).astype(np.uint8).tobytes()
+        base = rng.integers(0, 8, size=size).astype(np.int64)
+        grad = (np.arange(size, dtype=np.int64) // 64) % 32
+        return (base + grad).astype(np.uint8).tobytes()
+
+    @pytest.mark.parametrize("backend", ["tpu", "tpu-full"])
+    @pytest.mark.parametrize("swizzle,delta", [(False, False), (True, True)])
+    def test_preconditioned_tpu_encode(self, backend, swizzle, delta):
+        from brotlig_tpu import api
+        data = self._texture(C.DATA_FORMAT_BC1, 256, 256, mips=2)
+        p = make_params(C.DATA_FORMAT_BC1, 256, 256, mips=2,
+                        swizzle=swizzle, delta=delta)
+        blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
+                          backend=backend)
+        assert decode(blob) == data           # oracle decoder
+        assert api.decode(blob, backend="tpu") == data
+        if delta:
+            assert len(blob) < len(data)
+
+    @pytest.mark.parametrize("backend", ["tpu", "tpu-full"])
+    def test_preconditioned_raw_fallback(self, backend):
+        # incompressible texture: pages store raw, which must hold the
+        # conditioned NON-delta bytes (decoder skips delta on raw pages)
+        from brotlig_tpu import api
+        data = self._texture(C.DATA_FORMAT_BC3, 128, 128, mips=1,
+                             random=True)
+        p = make_params(C.DATA_FORMAT_BC3, 128, 128, swizzle=True,
+                        delta=True)
+        blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
+                          backend=backend)
+        assert decode(blob) == data
+        assert api.decode(blob, backend="tpu") == data
+
+    def test_preprocess_matches_oracle(self):
+        # device preprocessing == oracle condition + per-page delta
+        from brotlig_tpu.format.precondition import condition
+        from brotlig_tpu.ops.precondition import preprocess_device
+        data = self._texture(C.DATA_FORMAT_BC5, 128, 64, mips=1, seed=3)
+        p = make_params(C.DATA_FORMAT_BC5, 128, 64, swizzle=True,
+                        delta=True)
+        p.initialize(len(data))
+        cond, work, flags = preprocess_device(data, p, C.MIN_PAGE_SIZE)
+        assert cond == condition(data, p)
+        exp = bytearray()
+        for i in range(0, len(cond), C.MIN_PAGE_SIZE):
+            page = cond[i: i + C.MIN_PAGE_SIZE]
+            enc, did = delta_encode_page(page, i, p)
+            exp += enc if did else page
+            assert flags[i // C.MIN_PAGE_SIZE] == did
+        assert work == bytes(exp)
+
+    @pytest.mark.parametrize("backend", ["cpu", "tpu", "tpu-full"])
+    def test_geometry_mismatch_downgrades(self, backend):
+        # params that do not describe the input: encoder must downgrade to
+        # a plain (non-preconditioned) stream, like the reference
+        from brotlig_tpu import api
+        from brotlig_tpu.format.headers import StreamHeader
+        data = self._texture(C.DATA_FORMAT_BC1, 64, 64, mips=1)
+        p = make_params(C.DATA_FORMAT_BC1, 512, 512, swizzle=True,
+                        delta=True)
+        blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
+                          backend=backend)
+        assert not StreamHeader.unpack(blob).preconditioned
+        assert decode(blob) == data
