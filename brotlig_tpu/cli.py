@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="page size in bytes (32768/65536/131072)")
     p.add_argument("--backend", choices=["auto", "cpu", "tpu"],
                    default="auto", help="decode backend")
+    p.add_argument("--encode-backend",
+                   choices=["auto", "cpu", "tpu", "tpu-full"],
+                   default="auto",
+                   help="encode backend (tpu: device match finding; "
+                        "tpu-full: device match finding + serialization)")
     p.add_argument("--num-repeat", type=int, default=1,
                    help="repeat codec N times and report the best")
     # preconditioning (encode only)
@@ -64,7 +69,8 @@ def main(argv=None) -> int:
     for _ in range(max(args.num_repeat, 1)):
         t0 = time.perf_counter()
         if compressing:
-            out = api.encode(data, page_size=args.page_size, dc_params=dc)
+            out = api.encode(data, page_size=args.page_size, dc_params=dc,
+                             backend=args.encode_backend)
         else:
             out = api.decode(data, backend=args.backend)
         dt = time.perf_counter() - t0

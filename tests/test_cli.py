@@ -10,8 +10,11 @@ from test_roundtrip import make_data
 
 def run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # append, don't replace: the host may register jax plugins through a
+    # sitecustomize dir on PYTHONPATH
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
     return subprocess.run([sys.executable, "-m", "brotlig_tpu.cli"] + args,
                           capture_output=True, text=True, cwd=cwd, env=env,
                           timeout=300)
@@ -50,3 +53,17 @@ class TestCli:
         r = run_cli(["x.bin", "--precondition"], tmp_path)
         assert r.returncode == 2
         assert "data-format" in r.stderr
+
+    def test_encode_backend_flag(self, tmp_path):
+        data = make_data("text", 90_000, seed=4)
+        src = tmp_path / "f.bin"
+        src.write_bytes(data)
+        r = run_cli(["f.bin", "--encode-backend", "cpu"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["f.bin.brotlig", "--backend", "cpu"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "f.bin.out").read_bytes() == data
+        # unknown backend: argparse rejects with the choice list
+        r = run_cli(["f.bin", "--encode-backend", "gpu"], tmp_path)
+        assert r.returncode == 2
+        assert "invalid choice" in r.stderr
