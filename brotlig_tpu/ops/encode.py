@@ -34,6 +34,7 @@ HASH_BITS = 16
 MAX_MATCH_WORDS = 16          # cap hash matches at 64 bytes
 MIN_MATCH = 4
 NUM_CANDIDATES = 2
+EXT_ROUNDS = 3                # match cap = EXT_ROUNDS * 64 bytes
 
 
 def _quads(pages: jnp.ndarray) -> jnp.ndarray:
@@ -112,8 +113,8 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
         cand = jnp.take_along_axis(order, prev_rank, axis=1)
         cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
         ml = _match_len(quads, iota, cand, limit)
-        # extend fully-capped matches by up to 2 more cap-sized blocks
-        for ext in range(1, 3):
+        # extend fully-capped matches by further cap-sized blocks
+        for ext in range(1, EXT_ROUNDS):
             capped = (ml == ext * cap) & (cand >= 0)
             more = _match_len(quads, iota + ext * cap,
                               jnp.where(capped, cand + ext * cap, -1),
@@ -136,50 +137,52 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
     best_len = jnp.where(better, run_len, best_len)
     best_dist = jnp.where(better, 1, best_dist)
 
-    is_match = best_len >= MIN_MATCH
-    step = jnp.where(is_match, iota + best_len, iota + 1)
-    step = jnp.minimum(step, S - 1)
-    # make the terminal position a fixed point so orbit tails saturate
-    step = jnp.where(iota >= limit - 1, iota, step)
-    # also: greedy must not start a match that runs past the page — the
-    # cap in _match_len already clamps to the page limit.
+    # (measured: brotli-style distance gates and 1-byte lazy matching both
+    # LOWER the packed ratio here — the native packer's entropy coding
+    # makes even minimal far matches profitable, and lazy's extra literals
+    # cost more than the longer match saves. Keep plain greedy.)
+    taken = (best_len >= MIN_MATCH) & (iota + best_len <= limit)
 
-    # jump doubling + orbit listing: node[j + 2^k] = step^(2^k)(node[j])
+    # next taken match start at or after i (suffix min over masked iota);
+    # the greedy orbit jumps match start -> match start, so literal runs
+    # cost no orbit nodes (listing positions instead truncated coverage at
+    # max_cmds BYTES on literal-heavy pages)
+    taken_pos = jnp.where(taken, iota, S)
+    nxt = jax.lax.cummin(taken_pos[:, ::-1], axis=1)[:, ::-1]
+    nxt_pad = jnp.concatenate([nxt, jnp.full((P, 1), S, I32)], axis=1)
+    # step over matches: from a match at i the next command starts at the
+    # first match position >= i + len; sentinel S is a fixed point
+    step = jnp.take_along_axis(nxt_pad,
+                               jnp.clip(iota + best_len, 0, S), axis=1)
+    step_pad = jnp.concatenate([step, jnp.full((P, 1), S, I32)], axis=1)
+
+    # jump doubling + orbit listing: node[j + 2^k] = step^(2^k)(node[j]),
+    # over the padded index space [0, S] so the sentinel saturates
     levels = max(1, (max_cmds - 1).bit_length())
-    nodes = jnp.zeros((P, 1 << levels), I32)
-    jk = step
+    nodes = jnp.concatenate(
+        [nxt[:, :1], jnp.zeros((P, (1 << levels) - 1), I32)], axis=1)
+    jk = step_pad
     size = 1
     for k in range(levels):
-        nxt = jnp.take_along_axis(jk, nodes[:, :size], axis=1)
-        nodes = jax.lax.dynamic_update_slice(nodes, nxt, (0, size))
-        jk = jnp.take_along_axis(jk, jk, axis=1)
+        nxt_nodes = jnp.take_along_axis(jk, nodes[:, :size], axis=1)
+        nodes = jax.lax.dynamic_update_slice(nodes, nxt_nodes, (0, size))
+        jk = jnp.take_along_axis(jk, jnp.minimum(jk, S), axis=1)
         size *= 2
 
     nodes = nodes[:, :max_cmds]
-    node_valid = (nodes < limit - 0) & \
-        (jnp.concatenate([jnp.zeros((P, 1), bool),
-                          nodes[:, 1:] > nodes[:, :-1]], axis=1)
-         | (jnp.arange(max_cmds, dtype=I32)[None, :] == 0))
+    node_match = nodes < jnp.minimum(limit, S)
     node_len = jnp.take_along_axis(best_len, jnp.clip(nodes, 0, S - 1),
                                    axis=1)
     node_dist = jnp.take_along_axis(best_dist, jnp.clip(nodes, 0, S - 1),
                                     axis=1)
-    node_match = node_valid & (node_len >= MIN_MATCH) & \
-        (nodes + node_len <= limit)
 
-    # compact match nodes into the command list (searchsorted, no scatter)
-    match_rank = jnp.cumsum(node_match.astype(I32), axis=1)
-    ncmds = match_rank[:, -1]
-    target = jnp.broadcast_to(
-        jnp.arange(max_cmds, dtype=I32)[None, :] + 1, (P, max_cmds))
-    src_idx = jax.vmap(
-        lambda mr, t: jnp.searchsorted(mr, t, side="left"))(match_rank,
-                                                            target)
-    src_idx = jnp.clip(src_idx, 0, max_cmds - 1)
-    cmd_pos = jnp.take_along_axis(nodes, src_idx, axis=1)
-    cmd_len = jnp.take_along_axis(node_len, src_idx, axis=1)
-    cmd_dist = jnp.take_along_axis(node_dist, src_idx, axis=1)
+    # every listed node is a match command already (monotone by
+    # construction); just count them
+    ncmds = jnp.sum(node_match.astype(I32), axis=1)
     in_range = jnp.arange(max_cmds, dtype=I32)[None, :] < ncmds[:, None]
+    cmd_pos = jnp.where(in_range, nodes, 0)
+    cmd_len = jnp.where(in_range, node_len, 0)
+    cmd_dist = jnp.where(in_range, node_dist, 0)
 
     prev_end = jnp.concatenate(
         [jnp.zeros((P, 1), I32), (cmd_pos + cmd_len)[:, :-1]], axis=1)

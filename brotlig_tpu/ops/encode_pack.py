@@ -681,7 +681,7 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
     raw fallback must store (the decoder skips delta decode on raw pages).
     """
     from .encode import find_commands
-    max_cmds = page_size // 8 + 16   # bulk-greedy commands cover >=4 bytes
+    max_cmds = page_size // 4 + 16   # every command copies >= MIN_MATCH=4
     pages = jnp.asarray(pages_np)
     in_sizes = jnp.asarray(in_sizes_np)
     ins, cpy, dist, ncmds = find_commands(pages, in_sizes, max_cmds)
