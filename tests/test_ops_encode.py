@@ -88,3 +88,33 @@ class TestStreamTpuEncode:
         tpu = len(encode_stream_tpu(data))
         cpu = len(native.encode(data))
         assert tpu <= cpu * 1.5, (tpu, cpu)
+
+
+class TestRatioRegression:
+    """Compression-ratio floors for the device paths (guards matcher and
+    packer quality; values are ~5% below levels measured 2026-08-17, see
+    PERF.md encoder ledger)."""
+
+    def test_device_full_ratio_floors(self):
+        from test_roundtrip import make_data
+        from brotlig_tpu.ops.encode_pack import encode_stream_tpu_full
+        floors = {"text": 4.3, "structured": 1.35, "repetitive": 200.0}
+        for kind, floor in floors.items():
+            d = make_data(kind, 128 * 1024, seed=11)
+            blob = encode_stream_tpu_full(d, page_size=65536)
+            ratio = len(d) / len(blob)
+            assert ratio >= floor, f"{kind}: {ratio:.2f}x < {floor}x"
+
+    def test_hybrid_ratio_floors(self):
+        from test_roundtrip import make_data
+        from brotlig_tpu.ops.encode import encode_stream_tpu
+        from brotlig_tpu import native
+        if not (native.available() and native.has_encoder()):
+            import pytest
+            pytest.skip("native packer unavailable")
+        floors = {"text": 4.4, "repetitive": 500.0}
+        for kind, floor in floors.items():
+            d = make_data(kind, 128 * 1024, seed=11)
+            blob = encode_stream_tpu(d, page_size=65536)
+            ratio = len(d) / len(blob)
+            assert ratio >= floor, f"{kind}: {ratio:.2f}x < {floor}x"
