@@ -1,12 +1,17 @@
-"""Brotli-G TPU decode benchmark (driver-facing).
+"""Brotli-G TPU benchmark (driver-facing).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric is batched page-decode throughput
+(uncompressed GB/s) on the default jax device over a mixed corpus; the same
+line carries `encode_gbps` (full-device encode) and `ratio` (device encode
+compression ratio) as auxiliary fields.
 
-Measures batched page-decode throughput (uncompressed GB/s) on the default
-jax device over a Silesia-like mixed corpus of synthetic pages. Baseline is
-the reference CPU decoder's single-thread throughput; the reference
-publishes no numbers (BASELINE.md), so we use 1.0 GB/s as the recorded
-stand-in until the native C++ oracle lands to measure it on this host.
+`vs_baseline` divides by the MEASURED single-thread CPU decode throughput
+of this repo's native C++ decoder on this host (0.160 GB/s, BASELINE.md) —
+the stand-in for the reference CPU decoder, which publishes no numbers and
+cannot build here (unvendored brotli dependency).
+
+Timing forces completion by fetching the output to host (np.asarray), not
+block_until_ready, which on the axon backend can return early (PERF.md).
 """
 import json
 import os
@@ -88,10 +93,10 @@ def main():
     words = jnp.asarray(arr.view(np.uint32).reshape(n_pages, W))
     sizes_j = jnp.asarray(sizes)
     mc = max_cmds_for(PAGE_SIZE)
+    w_hint = (int(sizes.max()) + 3) // 4
 
     # warmup + correctness check
-    out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc)
-    out.block_until_ready()
+    out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint)
     out_np = np.asarray(out)
     for i in range(min(4, n_pages)):
         assert out_np[i].tobytes() == pages[i], f"bench page {i} mismatch"
@@ -99,17 +104,46 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc)
-        out.block_until_ready()
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint)
+        np.asarray(out)  # fetch forces completion (PERF.md timing rule)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     gbps = n_pages * PAGE_SIZE / dt / 1e9
+
+    enc_gbps, ratio = encode_bench(pages)
     print(json.dumps({
         "metric": "decode_throughput",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / BASELINE_CPU_DECODE_GBPS, 4),
+        "encode_gbps": round(enc_gbps, 5),
+        "encode_ratio": round(ratio, 3),
     }))
+
+
+def encode_bench(pages):
+    """Full-device encode throughput + ratio on a subset of the corpus."""
+    from brotlig_tpu.ops.encode_pack import encode_pages_device
+
+    n = int(os.environ.get("BENCH_ENC_PAGES", "16"))
+    reps = int(os.environ.get("BENCH_ENC_REPS", "2"))
+    sub = pages[:n]
+    arr = np.zeros((len(sub), PAGE_SIZE), dtype=np.uint8)
+    for i, p in enumerate(sub):
+        arr[i] = np.frombuffer(p, np.uint8)
+    sizes = np.full(len(sub), PAGE_SIZE, dtype=np.int32)
+    isdelta = np.zeros(len(sub), dtype=np.int32)
+
+    blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr)  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    total_in = len(sub) * PAGE_SIZE
+    total_out = sum(len(b) for b in blobs)
+    return total_in / dt / 1e9, total_in / max(total_out, 1)
 
 
 if __name__ == "__main__":

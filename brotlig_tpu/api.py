@@ -1,6 +1,6 @@
 """Public Brotli-G API (mirrors the reference C API, inc/BrotliG.h:25-26).
 
-encode()            -> CPU reference encoder (TPU encode lands in ops/)
+encode()            -> native/TPU encoder by backend (all support feedback)
 decode()            -> TPU decoder when available, else CPU oracle
 decode_cpu()        -> CPU oracle decoder
 decompressed_size() -> header-only size query
@@ -22,23 +22,33 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
     """Compress a Brotli-G container.
 
     backend: "cpu" (native C++ page-parallel encoder, best ratio),
-    "tpu" (device bulk match finding + native serialization), or "auto"
-    (cpu). `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc;
-    returning True aborts."""
+    "tpu" (device bulk match finding + native serialization), "tpu-full"
+    (match finding AND serialization on device), or "auto" (cpu).
+    `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc; returning
+    True aborts (errors.Aborted) on every backend: the native pool calls it
+    per encoded page, the device paths per page batch.
+
+    Note: with dc_params set, "auto" routes through the Python encoder
+    (the native encoder has no preconditioning path); use a TPU backend
+    for device-side preconditioning."""
     if backend in ("tpu", "tpu-full"):
         if backend == "tpu-full":
-            # match finding AND serialization on device (ops/encode_pack)
             from .ops.encode_pack import encode_stream_tpu_full
             return encode_stream_tpu_full(data, page_size=page_size,
-                                          dc_params=dc_params)
+                                          dc_params=dc_params,
+                                          feedback=feedback)
         from .ops.encode import encode_stream_tpu
         return encode_stream_tpu(data, page_size=page_size,
-                                 dc_params=dc_params)
-    if dc_params is None and feedback is None:
+                                 dc_params=dc_params, feedback=feedback)
+    if dc_params is None:
+        from .format.errors import Aborted
         try:
             from . import native
             if native.available() and native.has_encoder():
-                return native.encode(data, page_size=page_size)
+                return native.encode(data, page_size=page_size,
+                                     feedback=feedback)
+        except Aborted:
+            raise
         except Exception:
             pass
     return _cpu.encode(data, page_size=page_size, dc_params=dc_params,

@@ -21,6 +21,11 @@ _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
 
+# Progress/abort callback into the native encoder pool:
+# fn(msg_type, pages_done, pages_total) -> nonzero aborts.
+FEEDBACK_FN = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int,
+                               ctypes.c_uint32, ctypes.c_uint32)
+
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -57,6 +62,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.blg_encode_ex.restype = ctypes.c_int
+            lib.blg_encode_ex.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                FEEDBACK_FN]
             u32p = np_ctypeslib.ndpointer(dtype="uint32", flags="C")
             lib.blg_encode_page_cmds.restype = ctypes.c_int
             lib.blg_encode_page_cmds.argtypes = [
@@ -90,6 +102,16 @@ def decode(data: bytes, num_threads: int = 0) -> bytes:
         raise RuntimeError(f"native decoder unavailable: {_build_error}")
     padded = data + b"\x00" * 16  # slack for the 64-bit bit-reader loads
     n = decompressed_size(data)
+    # The output allocation is driven by the header-claimed size (up to
+    # 65535 pages x 128 KiB ~ 8.5 GB); require the page table those pages
+    # imply to actually be present before trusting it, so an 8-byte corrupt
+    # header cannot demand a multi-GB buffer.
+    if n:
+        num_pages = int.from_bytes(data[2:4], "little")
+        precon = bool(data[6] & 0x10)  # bit 20 of the header bits word
+        table_off = 8 + (8 if precon else 0)
+        if len(data) < table_off + 4 * num_pages:
+            raise ValueError("corrupt stream (truncated page table)")
     out = (ctypes.c_uint8 * max(n, 1))()
     out_size = ctypes.c_uint64(0)
     rc = lib.blg_decode(padded, len(data), out, n,
@@ -107,21 +129,46 @@ def has_encoder() -> bool:
 
 
 def encode(data: bytes, page_size: int = 65536, max_chain: int = 64,
-           num_threads: int = 0, quality: int = 11) -> bytes:
+           num_threads: int = 0, quality: int = 11,
+           feedback=None) -> bytes:
     """Compress a container with the native encoder (no preconditioning).
 
     quality >= 10 uses the two-pass cost-model optimal parse; lower values
-    use the greedy-lazy parse (faster, worse ratio)."""
+    use the greedy-lazy parse (faster, worse ratio).
+
+    feedback(msg_type, text) -> bool mirrors BROTLIG_Feedback_Proc
+    (reference BrotligEncoder.cpp:402-409): called from the worker pool
+    after every encoded page; returning True aborts (raises Aborted)."""
     from ..format import constants as C
+    from ..format.errors import Aborted, MessageType
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native encoder unavailable: {_build_error}")
     cap = C.max_compressed_size(len(data), page_size=page_size)
     out = (ctypes.c_uint8 * cap)()
     out_size = ctypes.c_uint64(0)
-    rc = lib.blg_encode(data, len(data), out, cap,
-                        ctypes.byref(out_size), page_size, max_chain,
-                        num_threads, quality)
+    if feedback is None:
+        rc = lib.blg_encode(data, len(data), out, cap,
+                            ctypes.byref(out_size), page_size, max_chain,
+                            num_threads, quality)
+    else:
+        cb_error: list = []
+
+        def _cb(msg_type, done, total):
+            try:
+                return 1 if feedback(MessageType(msg_type),
+                                     f"pages {done}/{total}") else 0
+            except Exception as e:  # don't unwind through C
+                cb_error.append(e)
+                return 1
+        c_cb = FEEDBACK_FN(_cb)
+        rc = lib.blg_encode_ex(data, len(data), out, cap,
+                               ctypes.byref(out_size), page_size, max_chain,
+                               num_threads, quality, c_cb)
+        if cb_error:
+            raise cb_error[0]
+        if rc == 5:
+            raise Aborted("encode aborted by feedback callback")
     if rc != 0:
         raise ValueError(f"native encode failed (rc={rc})")
     return bytes(bytearray(out)[: out_size.value])

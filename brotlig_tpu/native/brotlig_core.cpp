@@ -321,6 +321,11 @@ bool DecodePage(const uint8_t* src, size_t src_size, uint8_t* dst,
     }
     r.Reset();
 
+    // A valid page's inserts never exceed the bytes left to write; checking
+    // here (not after the fill) stops a corrupt page from declaring ~16.8M
+    // inserts per command and forcing a ~0.5 GB transient literal fill.
+    if (litcount > dst_size - wpos) return false;
+
     uint32_t aclit = litcount > prev_tail ? litcount - prev_tail : 0;
     uint32_t mult = bs ? (aclit + bs - 1) / bs : 0;
     uint32_t rlit = bs * mult;

@@ -870,10 +870,17 @@ int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
   return 0;
 }
 
-// Encode a whole container (no preconditioning). Returns 0 on success.
-int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
-               uint64_t dst_cap, uint64_t* out_size, uint32_t page_size,
-               int max_chain, int num_threads, int quality) {
+// Progress/abort callback: fb(msg_type, pages_done, pages_total) -> nonzero
+// aborts the encode (the analog of BROTLIG_Feedback_Proc on the reference's
+// worker pool, BrotligEncoder.cpp:402-409).
+typedef int (*blg_feedback_fn)(int, uint32_t, uint32_t);
+
+// Encode a whole container (no preconditioning). Returns 0 on success,
+// 5 when the feedback callback requested an abort.
+int blg_encode_ex(const uint8_t* src, uint64_t n, uint8_t* dst,
+                  uint64_t dst_cap, uint64_t* out_size, uint32_t page_size,
+                  int max_chain, int num_threads, int quality,
+                  blg_feedback_fn feedback) {
   if (page_size < 32768 || page_size > 131072 ||
       (page_size & (page_size - 1)))
     return 1;
@@ -897,10 +904,13 @@ int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
 
   std::vector<std::vector<uint8_t>> pages(num_pages);
   std::atomic<uint32_t> next{0};
+  std::atomic<uint32_t> done{0};
+  std::atomic<bool> abort_flag{false};
   auto worker = [&]() {
     for (;;) {
       uint32_t i = next.fetch_add(1);
-      if (i >= num_pages) break;
+      if (i >= num_pages || abort_flag.load(std::memory_order_relaxed))
+        break;
       uint64_t off = uint64_t(i) * page_size;
       uint32_t pn = static_cast<uint32_t>(
           std::min<uint64_t>(page_size, n - off));
@@ -911,6 +921,9 @@ int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
         pages[i].assign(src + off, src + off + pn);  // raw
       else
         pages[i] = std::move(comp);
+      uint32_t d = done.fetch_add(1) + 1;
+      if (feedback && feedback(/*progress*/ 0, d, num_pages))
+        abort_flag.store(true, std::memory_order_relaxed);
     }
   };
   int nt = num_threads > 0
@@ -924,6 +937,7 @@ int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
     for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
     for (auto& th : pool) th.join();
   }
+  if (abort_flag.load()) return 5;
 
   // page table + payload
   uint64_t posn = 8 + 4ull * num_pages;
@@ -942,6 +956,14 @@ int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
   }
   *out_size = posn;
   return 0;
+}
+
+// Back-compatible entry without a feedback callback.
+int blg_encode(const uint8_t* src, uint64_t n, uint8_t* dst,
+               uint64_t dst_cap, uint64_t* out_size, uint32_t page_size,
+               int max_chain, int num_threads, int quality) {
+  return blg_encode_ex(src, n, dst, dst_cap, out_size, page_size, max_chain,
+                       num_threads, quality, nullptr);
 }
 
 }  // extern "C"

@@ -232,15 +232,21 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
 # ---------------------------------------------------------------------------
 
 def encode_stream_tpu(data: bytes, page_size: int = 65536,
-                      batch_pages: int = 64, dc_params=None) -> bytes:
+                      batch_pages: int = 64, dc_params=None,
+                      feedback=None) -> bytes:
     """Compress a container with TPU bulk match finding.
 
     The LZ77 parse (the encode hot loop) runs batched on the device; the
     per-page entropy coding and swizzle serialization run in the native C++
     packer. Ratio is slightly below the CPU path (greedy, 64-byte match cap
     except runs) — see ops/encode.py docstring. `dc_params` enables BCn
-    preconditioning (condition gather + delta on device)."""
+    preconditioning (condition gather + delta on device).
+
+    feedback(msg_type, text) -> bool is called once per device batch;
+    returning True aborts with errors.Aborted (the TPU-path analog of the
+    reference's BROTLIG_Feedback_Proc)."""
     from ..format import constants as C
+    from ..format.errors import Aborted, MessageType
     from ..format.headers import (PreconditionHeader, StreamHeader,
                                   pack_page_table)
     from .. import native
@@ -300,6 +306,10 @@ def encode_stream_tpu(data: bytes, page_size: int = 65536,
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor() as ex:
             pages_out.extend(ex.map(pack, list(enumerate(group))))
+        if feedback is not None and feedback(
+                MessageType.PROGRESS,
+                f"pages {len(pages_out)}/{num_pages}"):
+            raise Aborted("encode aborted by feedback callback")
 
     out = bytearray()
     out += header.pack()

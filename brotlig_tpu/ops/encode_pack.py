@@ -706,11 +706,15 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
 
 def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
                            batch_pages: int = 64,
-                           dc_params=None) -> bytes:
+                           dc_params=None, feedback=None) -> bytes:
     """Container encode with BOTH match finding and serialization on device
     (the native packer is not involved). `dc_params` enables BCn
     preconditioning: the condition gather + per-page delta also run on
-    device (ops/precondition.py::preprocess_device)."""
+    device (ops/precondition.py::preprocess_device).
+
+    feedback(msg_type, text) -> bool is called once per device batch;
+    returning True aborts with errors.Aborted."""
+    from ..format.errors import Aborted, MessageType
     from ..format.headers import (PreconditionHeader, StreamHeader,
                                   pack_page_table)
 
@@ -750,6 +754,10 @@ def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
             isdelta[row] = int(isdelta_flags[i])
         pages_out.extend(encode_pages_device(arr, sizes, page_size,
                                              isdelta, raw))
+        if feedback is not None and feedback(
+                MessageType.PROGRESS,
+                f"pages {len(pages_out)}/{num_pages}"):
+            raise Aborted("encode aborted by feedback callback")
 
     out = bytearray()
     out += header.pack()

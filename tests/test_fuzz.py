@@ -62,3 +62,42 @@ class TestFuzz:
                 decode_stream_jax(c)
             except (BrotligError, ValueError, IndexError):
                 pass
+
+
+class TestPageTableValidation:
+    """decode_stream_jax must reject out-of-bounds page tables with a typed
+    CorruptStream, like the native decoder (brotlig_core.cpp:436-439)."""
+
+    def test_tpu_rejects_bad_table(self, blob):
+        from brotlig_tpu.format.errors import CorruptStream
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        # entry 1 is page 1's offset: point it far past the payload
+        b = bytearray(blob)
+        b[12:16] = (2 ** 31 - 1).to_bytes(4, "little")
+        with pytest.raises(CorruptStream):
+            decode_stream_jax(bytes(b))
+
+    def test_tpu_rejects_truncated_table(self, blob):
+        from brotlig_tpu.format.errors import CorruptStream
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        with pytest.raises(CorruptStream):
+            decode_stream_jax(blob[:10])
+
+    def test_tpu_rejects_truncated_header(self):
+        from brotlig_tpu.format.errors import CorruptStream
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        with pytest.raises(CorruptStream):
+            decode_stream_jax(b"\x05\xfa\x01")
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_native_bounded_insert_dos(self):
+        """A page declaring huge inserts must be rejected before the literal
+        fill loop allocates (round-1 ADVICE item 1): decode of random noise
+        pages completes quickly and raises, never ballooning memory."""
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            page = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+            try:
+                native.decode_page(page, 131072)
+            except ValueError:
+                pass
