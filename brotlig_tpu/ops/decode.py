@@ -443,6 +443,12 @@ def _stage_symbols(words: jnp.ndarray, in_sizes: jnp.ndarray,
 def _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
               npostfix, ndirect, page_size: int, max_cmds: int):
     """Distance-ring resolution + source-chain LZ77 execution (Phase B)."""
+    # The Pallas phase A leaves rounds past the sentinel unwritten (garbage)
+    # in HBM; zero them so phase B's coverage cumsums see the same arrays
+    # the XLA phase A produces.
+    in_cmds = jnp.arange(ins_a.shape[1], dtype=I32)[None, :] < ncmds[:, None]
+    ins_a = jnp.where(in_cmds, ins_a, 0)
+    cpy_a = jnp.where(in_cmds, cpy_a, 0)
     dist = _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
                               npostfix, ndirect, max_cmds)
     return _phase_b(ncmds, litbuf, ins_a, cpy_a, dist, page_size)
@@ -465,21 +471,82 @@ def _narrow_words(words: jnp.ndarray, w_hint: int | None):
     return words
 
 
+def _use_pallas(P: int, s_hint, w_hint) -> bool:
+    """Route to the Pallas phase-A kernel when the caller supplied a stream
+    hint and the batch shape fits the kernel's block layout. Heavily
+    unbalanced streams (>= 8x the balanced size; never produced by our
+    encoders) fall back to the XLA path rather than blowing up the
+    interleaved buffer."""
+    from .pallas_decode import MAX_PB, pallas_enabled, wl_bucket
+    if s_hint is None or not pallas_enabled():
+        return False
+    if P >= MAX_PB and P % MAX_PB:
+        return False
+    if w_hint is not None and wl_bucket(s_hint) * NBS > 8 * (w_hint + 64):
+        return False
+    return True
+
+
+def _pallas_interpret() -> bool:
+    # the default device is what jit will target (tests pin it to CPU even
+    # though jax.devices()[0] stays the axon TPU on this host)
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    return dev.platform not in ("tpu", "axon")
+
+
 def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
                        page_size: int, max_cmds: int,
-                       w_hint: int | None = None):
+                       w_hint: int | None = None,
+                       s_hint: int | None = None):
     """Dispatch phase A for a batch (async). Returns an opaque state for
     decode_pages_finish. Splitting dispatch from finish lets the stream
     loop enqueue batch k+1's phase A before fetching batch k's command
-    count, so the bucketing fetch never stalls the device pipeline."""
+    count, so the bucketing fetch never stalls the device pipeline.
+
+    s_hint: host-known max per-stream word count (pallas_decode.
+    stream_words_hint); when given, phase A runs as the on-chip Pallas
+    kernel instead of the XLA round loop."""
+    if _use_pallas(words.shape[0], s_hint, w_hint):
+        from . import pallas_decode as PD
+        out = PD.phase_a_pallas(words, in_sizes, page_size, max_cmds,
+                                PD.wl_bucket(s_hint), _pallas_interpret())
+        return ("pallas", out)
     words = _narrow_words(words, w_hint)
-    return _stage_symbols(words, in_sizes, page_size, max_cmds)
+    return ("xla", _stage_symbols(words, in_sizes, page_size, max_cmds))
+
+
+def _bucket_sizes(peak: int, full: int):
+    for b in (full // 8, full // 4, full // 2):
+        if peak <= b:
+            return b
+    return full
+
+
+def _finish_pallas_state(out, page_size: int, max_cmds: int):
+    from . import pallas_decode as PD
+    (ncmds, lit_t, chs, chc, cmd_t,
+     npostfix, ndirect, isdelta, stats) = out
+    P = ncmds.shape[0]
+    R = max_cmds // NBS
+    lit_cap = page_size + 64
+    stats_np = np.asarray(stats)
+    peak = int(np.asarray(jnp.max(ncmds))) + 1
+    rbucket = _bucket_sizes((peak + NBS - 1) // NBS + 1, R)
+    cbucket = _bucket_sizes(int(stats_np[:, 0].max()) + 1, chs.shape[0])
+    litbuf = PD.finish_pallas(lit_t, chs, chc, page_size, cbucket, lit_cap)
+    ins_a, cpy_a, dcode_a, dextra_a = PD.cmds_from_rounds(cmd_t, P, rbucket)
+    out_pages = _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+                          npostfix, ndirect, page_size, rbucket * NBS)
+    return out_pages, isdelta
 
 
 def decode_pages_finish(state, page_size: int, max_cmds: int):
     """Bucket command arrays by the batch's real peak and run phase B."""
+    tag, data = state
+    if tag == "pallas":
+        return _finish_pallas_state(data, page_size, max_cmds)
     (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npostfix, ndirect,
-     isdelta, ncmds_max) = state
+     isdelta, ncmds_max) = data
     # bucket the command arrays down to the batch's real command count:
     # phase B's searches/gathers scale with this width, and typical pages
     # use a fraction of the worst-case bound
@@ -501,17 +568,19 @@ def decode_pages_finish(state, page_size: int, max_cmds: int):
 
 def decode_pages(words: jnp.ndarray, in_sizes: jnp.ndarray,
                  page_size: int, max_cmds: int,
-                 w_hint: int | None = None):
+                 w_hint: int | None = None,
+                 s_hint: int | None = None):
     """Decode a batch of compressed (non-raw) pages.
 
     words: uint32 [P, W]; in_sizes: int32 [P].
     Returns (out [P, page_size] uint8, isdelta [P] int32).
 
-    Runs as two jitted stages: compiling phase A and phase B into one XLA
-    program makes XLA pick layouts that slow the round loop ~30x, so the
-    stages stay separate (device-to-device hand-off, no host transfer).
-    """
-    state = decode_pages_start(words, in_sizes, page_size, max_cmds, w_hint)
+    With s_hint (host-known max stream words) phase A runs as the on-chip
+    Pallas kernel; otherwise as the two-stage XLA dataflow (phase A and
+    phase B stay separately jitted — fusing them makes XLA pick layouts
+    that slow the round loop ~30x)."""
+    state = decode_pages_start(words, in_sizes, page_size, max_cmds,
+                               w_hint, s_hint)
     return decode_pages_finish(state, page_size, max_cmds)
 
 
@@ -611,6 +680,13 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
         # host-known narrowing hint: every phase-A gather scans the words
         # operand, so size it to the stream's largest compressed page
         w_hint = (max(int(sizes[i]) for i in comp_idx) + 3) // 4
+        # per-stream capacity hint for the Pallas kernel (cheap host parse
+        # of each compressed page's size table)
+        from .pallas_decode import stream_words_hint
+        mv = memoryview(payload)
+        s_hint = stream_words_hint(
+            [(bytes(mv[int(offsets[i]): int(offsets[i]) + 96]),
+              int(sizes[i])) for i in comp_idx])
         isdelta_pages: set = set()
 
         def drain(slot):
@@ -645,7 +721,7 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256) -> bytes:
                 if len(comp_idx) > batch_pages else group
             words, in_sizes = _batch_pages(payload, offsets, sizes, rows, W)
             stage_q.append((group, decode_pages_start(
-                words, in_sizes, page_size, mc, w_hint)))
+                words, in_sizes, page_size, mc, w_hint, s_hint)))
             if len(stage_q) > 1:
                 pump_finish()
             if len(finish_q) > 2:

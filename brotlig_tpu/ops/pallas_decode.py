@@ -1,0 +1,622 @@
+"""Pallas/Mosaic phase-A kernel: on-chip wavefront command+literal decode.
+
+This is the TPU-native analog of the reference's persistent-threads GPU
+decoder (BrotliGCompute.hlsl:1349-1432): one kernel instance holds a block
+of pages' bitstreams resident in VMEM and runs the whole round loop
+on-chip, so the per-round bit-window fetches are VMEM lane-gathers
+(~65-100ns each) instead of XLA HBM gathers that re-scan the words operand
+every round (the round-1 bottleneck — see PERF.md).
+
+Key layout ideas:
+
+* The 32 sub-streams of each page are re-interleaved word-round-robin
+  (word w of stream s at position w*32+s) so all 32 lane cursors stay
+  clustered around the decode frontier; the fetch ladder then only touches
+  the few active 128-word chunks per round instead of the whole page.
+* The interleaved buffer is shaped [Wc, PB, 128]: chunk-major first so a
+  traced chunk index selects [PB pages, 128 words] with a (supported)
+  dynamic first-dim index, and the per-(page,lane) word select is the one
+  gather form Mosaic lowers on TPU: same-shape take_along_axis on the
+  128-lane axis.
+* Vectors are [PB pages (sublanes), 128 lanes]; lanes carry 32 streams x 4
+  word-slots for window fetches and 32 streams x 4 literal batches for
+  literal rounds, so literal decode covers 128 symbols per page per trip.
+* Huffman decode is the canonical range search (15 limit compares, all
+  VPU) + a symbol-dictionary gather laddered over 128-entry chunks; ranks
+  are canonical so chunk 0 covers the frequent symbols.
+* Command arrays stream out round-by-round over async DMA (double
+  buffered, 2D row-block destinations) in [round*page, lane] layout;
+  literals go out as 128-wide chunk slots with (start,count) records,
+  compacted to a dense queue by the XLA epilogue (finish_pallas).
+
+Everything matches ops/decode.py::_phase_a semantically (same sentinel
+rollback, same prev_tail literal rounding, same chunk records), proven by
+tests/test_pallas_decode.py equality tests.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import constants as C
+from . import arith_lut
+from .tables import build_search, load_table, parse_page_headers_full
+
+I32 = jnp.int32
+U32 = jnp.uint32
+NBS = C.NUM_BITSTREAMS          # 32 streams
+LSLOTS = 4                      # literal batches per chunk (128 lanes / 32)
+CHUNK_W = LSLOTS * NBS          # 128 literals per chunk slot
+MAX_PB = 64                     # pages per kernel block (VMEM budget)
+
+# symbol-dictionary chunk counts (alphabet padded to 128-lane chunks)
+NC_ICP = (C.NUM_COMMAND_SYMBOLS_EFFECTIVE + 127) // 128   # 6
+NC_DST = (C.NUM_DISTANCE_SYMBOLS + 127) // 128            # 5
+NC_LIT = (C.NUM_LITERAL_SYMBOLS + 127) // 128             # 2
+
+
+def _rev15(v):
+    """Bit-reverse a 15-bit value (vectorized, int32 in/out)."""
+    v = v.astype(U32)
+    v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555)
+    v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333)
+    v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F)
+    v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF)
+    return (v >> 1).astype(I32)
+
+
+def _mask_bits(n):
+    n = n.astype(U32)
+    return jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n) - jnp.uint32(1))
+
+
+def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
+                        max_chunks: int, pb: int):
+    """Build the phase-A kernel body for static (page_size, max_cmds, Wc,
+    pages-per-block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = max_cmds // NBS          # worst-case command rounds
+    lit_cap = page_size + 64
+    maxc1 = max_chunks - 1
+
+    def kernel(buf_ref, bp0_ref, npd_ref,
+               icp_lim, icp_first, icp_off, icp_triv, icp_dict,
+               dst_lim, dst_first, dst_off, dst_triv, dst_dict,
+               lit_lim, lit_first, lit_off, lit_triv, lit_dict,
+               cmd_out, lit_out,
+               chs_out, chc_out, ncmds_out, stats_out,
+               stage_cmd, stage_lit, sem_cmd, sem_lit):
+        blk = pl.program_id(0)
+        nblk = pl.num_programs(0)
+        lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
+        s_of = lane & (NBS - 1)      # stream id of a lane
+        j_of = lane >> 5             # slot / literal-batch id
+        eye = (jax.lax.broadcasted_iota(I32, (pb, pb), 0)
+               == jax.lax.broadcasted_iota(I32, (pb, pb), 1)).astype(I32)
+
+        def col_to_row(v):
+            # [pb, 1] page-column -> [1, pb] lane-row (for chunk records)
+            return jnp.sum(v * eye, axis=0, keepdims=True)
+
+        def bcast_slots(v):
+            # replicate lanes 0..31 into all four 32-lane slot groups
+            v0 = jnp.where(lane < NBS, v, 0)
+            return (v0 + pltpu.roll(v0, 32, 1) + pltpu.roll(v0, 64, 1)
+                    + pltpu.roll(v0, 96, 1))
+
+        # defaults keep unwritten chunk ends sorted for the compaction
+        chs_out[:] = jnp.full((max_chunks, pb), lit_cap, I32)
+        chc_out[:] = jnp.zeros((max_chunks, pb), I32)
+
+        npf = npd_ref[:, 0:1]
+        ndir = npd_ref[:, 1:2]
+
+        # ---- fetch: 6 words per stream from the interleaved buffer ----
+        def fetch6(bp):
+            """bp [pb,128] (lanes 0..31 = stream bit cursors, stream-local).
+            Returns (w[6] list of [pb,128] int32, lanes 0..31 valid)."""
+            w0 = bcast_slots(bp >> 5)                 # word cursor per slot
+            pos1 = (w0 + j_of) * NBS + s_of           # words w0+0..3
+            pos2 = (w0 + 4 + j_of) * NBS + s_of       # words w0+4..7 (use 2)
+            lim = wc * 128 - 1
+            pos1 = jnp.clip(pos1, 0, lim)
+            pos2 = jnp.clip(pos2, 0, lim)
+            kmin = jnp.min(pos1) >> 7
+            kmax = jnp.max(pos2) >> 7
+
+            def body(k, carry):
+                g1, g2 = carry
+                chunk = buf_ref[k]                    # [pb, 128]
+                a = jnp.take_along_axis(chunk, pos1 & 127, axis=1)
+                b = jnp.take_along_axis(chunk, pos2 & 127, axis=1)
+                g1 = jnp.where((pos1 >> 7) == k, a, g1)
+                g2 = jnp.where((pos2 >> 7) == k, b, g2)
+                return g1, g2
+
+            g1, g2 = jax.lax.fori_loop(
+                kmin, kmax + 1, body,
+                (jnp.zeros((pb, 128), I32), jnp.zeros((pb, 128), I32)))
+            return [g1,
+                    pltpu.roll(g1, 128 - 32, 1),
+                    pltpu.roll(g1, 128 - 64, 1),
+                    pltpu.roll(g1, 128 - 96, 1),
+                    g2,
+                    pltpu.roll(g2, 128 - 32, 1)]
+
+        def extract(w, sh, delta, nbits):
+            """Bits [sh+delta, +nbits) from the 6-word window (lanes 0..31)."""
+            off = sh + delta
+            widx = off >> 5
+            bo = (off & 31).astype(U32)
+            lo = w[0].astype(U32)
+            hi = w[1].astype(U32)
+            for k in range(1, 6):
+                sel = widx == k
+                lo = jnp.where(sel, w[k].astype(U32), lo)
+                nxt = w[k + 1].astype(U32) if k + 1 < 6 else jnp.uint32(0)
+                hi = jnp.where(sel, nxt, hi)
+            win = (lo >> bo) | jnp.where(bo == 0, jnp.uint32(0),
+                                         hi << (jnp.uint32(32) - bo))
+            n = jnp.asarray(nbits)
+            return jnp.where(n == 0, jnp.uint32(0),
+                             win & _mask_bits(n)).astype(I32)
+
+        # ---- canonical range-search decode ----
+        def decode_sym(win15, lim_ref, first_ref, off_ref, triv_ref,
+                       dict_ref, nchunks):
+            idx = _rev15(win15)
+            length = jnp.ones((pb, 128), I32)
+            for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH):
+                length += (idx >= lim_ref[:, l:l + 1]).astype(I32)
+            first_l = jnp.zeros((pb, 128), I32)
+            off_l = jnp.zeros((pb, 128), I32)
+            for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH + 1):
+                sel = length == l
+                first_l = jnp.where(sel, first_ref[:, l:l + 1], first_l)
+                off_l = jnp.where(sel, off_ref[:, l:l + 1], off_l)
+            code = idx >> (C.HUFFMAN_TABLE_BITS - length)
+            rank = jnp.clip(off_l + code - first_l, 0, nchunks * 128 - 1)
+            sym = jnp.zeros((pb, 128), I32)
+            for k in range(nchunks):
+                g = jnp.take_along_axis(dict_ref[k], rank & 127, axis=1)
+                sym = jnp.where((rank >> 7) == k, g, sym)
+            triv = triv_ref[:, 0:1]
+            is_t = triv >= 0
+            sym = jnp.where(is_t, triv, sym)
+            length = jnp.where(is_t, 0, length)
+            return sym, length
+
+        # ---- literal chunk: 4 chained batches of 32 literals ----
+        def lit_chunk(lbase, bp, cidx, qtail, rlit):
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            delta = jnp.zeros((pb, 128), I32)
+            block = jnp.zeros((pb, 128), I32)
+            for jj in range(LSLOTS):
+                win15 = extract(w, sh, delta, 15)
+                sym, ln = decode_sym(win15, lit_lim, lit_first, lit_off,
+                                     lit_triv, lit_dict, NC_LIT)
+                active = ((lbase + jj * NBS + s_of) < rlit) & (lane < NBS)
+                delta = delta + jnp.where(active, ln, 0)
+                placed = pltpu.roll(jnp.where(lane < NBS, sym, 0),
+                                    32 * jj, 1) if jj else \
+                    jnp.where(lane < NBS, sym, 0)
+                block = jnp.where(j_of == jj, placed, block)
+                # carry the consumed-bits prefix to the next batch's lanes
+                delta = bcast_slots(delta)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+
+            cw = jnp.minimum(cidx, maxc1)
+            slot = cidx & 1
+            @pl.when(cidx >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage_lit.at[slot],
+                    lit_out.at[pl.ds(jnp.minimum(cidx - 2, maxc1) * (nblk * pb)
+                                     + blk * pb, pb), :],
+                    sem_lit.at[slot]).wait()
+            stage_lit[slot] = block
+            pltpu.make_async_copy(
+                stage_lit.at[slot],
+                lit_out.at[pl.ds(cw * (nblk * pb) + blk * pb, pb), :],
+                sem_lit.at[slot]).start()
+
+            start = qtail + jnp.minimum(lbase, rlit)
+            count = jnp.clip(rlit - lbase, 0, CHUNK_W)
+            chs_out[pl.ds(cw, 1), :] = col_to_row(start)
+            chc_out[pl.ds(cw, 1), :] = col_to_row(count)
+            return bp, cidx + 1
+
+        # ---- command round ----
+        def round_body(carry):
+            (r, cidx, bp, done, ncmds, prev_tail, qtail) = carry
+            active = (done == 0)                       # [pb, 1]
+
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            win15 = extract(w, sh, 0, 15)
+            sym, ln = decode_sym(win15, icp_lim, icp_first, icp_off,
+                                 icp_triv, icp_dict, NC_ICP)
+            is_norm = sym < C.NUM_COMMAND_SYMBOLS
+            is_sent = sym == C.SENTINEL_COMMAND
+            is_insonly = sym > C.NUM_COMMAND_SYMBOLS
+
+            ic_n, cc_n = arith_lut.split_command(sym)
+            inscode = jnp.where(is_insonly, sym - C.NUM_COMMAND_SYMBOLS,
+                                jnp.where(is_norm, ic_n, 0))
+            inscode = jnp.clip(inscode, 0, 23)
+            copycode = jnp.clip(jnp.where(is_norm, cc_n, 0), 0, 23)
+            ins_bits = jnp.where(is_sent, 0, arith_lut.insert_extra(inscode))
+            ins_base = jnp.where(is_sent, 0, arith_lut.insert_base(inscode))
+            cpy_bits = jnp.where(is_norm, arith_lut.copy_extra(copycode), 0)
+            cpy_base = jnp.where(is_norm, arith_lut.copy_base(copycode), 0)
+
+            ins_extra = extract(w, sh, ln, ins_bits)
+            cpy_extra = extract(w, sh, ln + ins_bits, cpy_bits)
+            insert_len = ins_base + ins_extra
+            copy_len = cpy_base + cpy_extra
+            bp1 = bp + ln
+            d_off = ln + ins_bits + cpy_bits
+
+            need_dist = is_norm & (sym >= 128)
+            dwin = extract(w, sh, d_off, 15)
+            dsym, dln = decode_sym(dwin, dst_lim, dst_first, dst_off,
+                                   dst_triv, dst_dict, NC_DST)
+            dln_eff = jnp.where(need_dist, dln, 0)
+            is_long = dsym >= (16 + ndir)
+            dnb = jnp.where(need_dist & is_long,
+                            1 + (jnp.maximum(dsym - ndir - 16, 0)
+                                 >> (npf + 1)), 0)
+            dnb = jnp.clip(dnb, 0, 30)
+            dextra = extract(w, sh, d_off + dln_eff, dnb)
+            bp4 = bp + d_off + dln_eff + dnb
+
+            # sentinel lane + rollback
+            sent_lane = jnp.where(is_sent & (lane < NBS), lane, NBS)
+            k = jnp.min(sent_lane, axis=1, keepdims=True)     # [pb, 1]
+            k = jnp.where(active, k, 0)
+            valid = active & (lane < k)
+            bp = jnp.where(valid, bp4,
+                           jnp.where(active & (lane == k), bp1, bp))
+
+            insert_len = jnp.where(valid, insert_len, 0)
+            copy_len = jnp.where(valid, copy_len, 0)
+            dcode = jnp.where(valid & need_dist, dsym,
+                              jnp.where(valid & is_norm, 0, -1))
+            dextra = jnp.where(valid, dextra, 0)
+
+            # stream the round's 32 commands per page out over DMA; the four
+            # fields share one 128-lane row (slot f = lanes 32f..32f+31) so
+            # the DMA slice is tile-aligned and one copy covers the round
+            slot = r & 1
+
+            def cmd_dma(sl, rr):
+                return pltpu.make_async_copy(
+                    stage_cmd.at[sl],
+                    cmd_out.at[pl.ds(rr * (nblk * pb) + blk * pb, pb), :],
+                    sem_cmd.at[sl])
+
+            @pl.when(r >= 2)
+            def _():
+                cmd_dma(slot, r - 2).wait()
+            lane32 = lane < NBS
+            stage_cmd[slot] = (
+                jnp.where(lane32, insert_len, 0)
+                + pltpu.roll(jnp.where(lane32, copy_len, 0), 32, 1)
+                + pltpu.roll(jnp.where(lane32, dcode, 0), 64, 1)
+                + pltpu.roll(jnp.where(lane32, dextra, 0), 96, 1))
+            cmd_dma(slot, r).start()
+
+            ncmds = ncmds + jnp.where(active, k, 0)
+
+            # literal batches for this round
+            litcount = jnp.sum(insert_len, axis=1, keepdims=True)
+            bs = k
+            aclit = jnp.maximum(litcount - prev_tail, 0)
+            mult = jnp.where(bs > 0, (aclit + bs - 1)
+                             // jnp.maximum(bs, 1), 0)
+            rlit = jnp.where(active, bs * mult, 0)               # [pb, 1]
+            prev_tail = jnp.where(active, rlit + prev_tail - litcount,
+                                  prev_tail)
+
+            bp, cidx = lit_chunk(jnp.int32(0), bp, cidx, qtail, rlit)
+
+            def lit_cond(c):
+                lbase, _, _ = c
+                return lbase < jnp.max(rlit)
+
+            def lit_body(c):
+                lbase, bp, cidx = c
+                bp, cidx = lit_chunk(lbase, bp, cidx, qtail, rlit)
+                return lbase + CHUNK_W, bp, cidx
+
+            _, bp, cidx = jax.lax.while_loop(
+                lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx))
+            qtail = qtail + rlit
+
+            done = jnp.where(active & (k < NBS), 1, done)
+            return (r + 1, cidx, bp, done, ncmds, prev_tail, qtail)
+
+        def round_cond(carry):
+            r, _, _, done, *_ = carry
+            return (jnp.min(done) == 0) & (r < R)
+
+        init = (jnp.int32(0), jnp.int32(0), bp0_ref[:],
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32))
+        (r_f, cidx_f, _, _, ncmds, _, _) = jax.lax.while_loop(
+            round_cond, round_body, init)
+
+        # drain outstanding DMAs
+        for back in (2, 1):
+            @pl.when(r_f >= back)
+            def _(back=back):
+                sl = (r_f - back) & 1
+                pltpu.make_async_copy(
+                    stage_cmd.at[sl],
+                    cmd_out.at[pl.ds((r_f - back) * (nblk * pb) + blk * pb,
+                                     pb), :],
+                    sem_cmd.at[sl]).wait()
+            @pl.when(cidx_f >= back)
+            def _(back=back):
+                sl = (cidx_f - back) & 1
+                pltpu.make_async_copy(
+                    stage_lit.at[sl],
+                    lit_out.at[pl.ds(jnp.minimum(cidx_f - back, maxc1)
+                                     * (nblk * pb) + blk * pb, pb), :],
+                    sem_lit.at[sl]).wait()
+
+        ncmds_out[:, 0:1] = ncmds
+        stats_out[:, 0:1] = jnp.broadcast_to(cidx_f, (pb, 1))
+        stats_out[:, 1:2] = jnp.broadcast_to(r_f, (pb, 1))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# XLA-side wrapper
+# ---------------------------------------------------------------------------
+
+def _interleave_streams(words, stream_bytes, wl: int):
+    """[P, W] page words + [P, 32] stream byte offsets -> [Wc, P, 128]
+    word-round-robin interleaved buffer (word w of stream s at w*32+s)."""
+    P, W = words.shape
+    w_idx = jnp.arange(wl, dtype=I32)
+    byte0 = stream_bytes[:, None, :] + 4 * w_idx[None, :, None]  # [P,wl,32]
+    flat = byte0.reshape(P, wl * NBS)
+    lo_i = jnp.clip(flat >> 2, 0, W - 1)
+    sh = ((flat & 3) * 8).astype(U32)
+    g = jnp.take_along_axis(words, jnp.concatenate(
+        [lo_i, jnp.clip(lo_i + 1, 0, W - 1)], axis=1), axis=1)
+    g1 = g[:, : wl * NBS].astype(U32)
+    g2 = g[:, wl * NBS:].astype(U32)
+    val = (g1 >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                 g2 << (jnp.uint32(32) - sh))
+    wc = wl * NBS // 128
+    return val.astype(I32).reshape(P, wc, 128).transpose(1, 0, 2)
+
+
+def _pack_search(search, nchunks: int):
+    """build_search dict -> (limit/first/offset [P, 32], dict3 [NC, P, 128])."""
+    P, A = search["symdict"].shape
+    def pad32(x):
+        return jnp.pad(x, ((0, 0), (0, 32 - x.shape[1])))
+    d = jnp.pad(search["symdict"], ((0, 0), (0, nchunks * 128 - A)))
+    d3 = d.reshape(P, nchunks, 128).transpose(1, 0, 2)
+    return (pad32(search["limit"]), pad32(search["first"]),
+            pad32(search["offset"]), d3)
+
+
+def _block_pages(P: int) -> int:
+    if P >= MAX_PB:
+        if P % MAX_PB:
+            raise ValueError(f"page batch {P} not a multiple of {MAX_PB}")
+        return MAX_PB
+    return P
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
+                   page_size: int, max_cmds: int, wl: int,
+                   interpret: bool = False):
+    """Headers + tables in XLA, then the Pallas phase-A kernel.
+
+    wl: static per-stream word capacity (host hint; see stream_words_hint).
+    Returns (ncmds [P], lit chunks [maxC*P, 128], ch_start/ch_count
+    [maxC, P], cmd arrays [R*P, 32] x4, npostfix, ndirect, isdelta,
+    stats [P, 2] = (chunks used, rounds used))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, W = words.shape
+    pb = _block_pages(P)
+    npostfix, ndirect, isdelta, lane_bp, stream_bytes = \
+        parse_page_headers_full(words, in_sizes)
+    icp_len, icp_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_COMMAND_SYMBOLS_EFFECTIVE)
+    dst_len, dst_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_DISTANCE_SYMBOLS)
+    lit_len, lit_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_LITERAL_SYMBOLS)
+
+    def mk(lengths):
+        return build_search(lengths, C.HUFFMAN_NUM_CODE_LENGTH,
+                            C.HUFFMAN_TABLE_BITS)
+    icp_s = _pack_search(mk(icp_len), NC_ICP)
+    dst_s = _pack_search(mk(dst_len), NC_DST)
+    lit_s = _pack_search(mk(lit_len), NC_LIT)
+
+    buf3 = _interleave_streams(words, stream_bytes, wl)
+    wc = buf3.shape[0]
+    bp0 = jnp.pad(lane_bp - stream_bytes * 8, ((0, 0), (0, 128 - NBS)))
+    npd = jnp.stack([npostfix, ndirect], axis=1)
+
+    R = max_cmds // NBS
+    lit_cap = page_size + 64
+    max_chunks = R + 4 * (lit_cap // CHUNK_W) + 2
+
+    kernel = make_phase_a_kernel(page_size, max_cmds, wc, max_chunks, pb)
+    grid = (P // pb,)
+
+    def vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def page_spec(cols):
+        return vspec((pb, cols), lambda i: (i, 0))
+
+    def dict_spec(nc):
+        return vspec((nc, pb, 128), lambda i: (0, i, 0))
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    in_specs = [
+        vspec((wc, pb, 128), lambda i: (0, i, 0)),    # buf3
+        page_spec(128),                               # bp0 (padded)
+        page_spec(2),                                 # npd
+    ]
+    for nc in (NC_ICP, NC_DST, NC_LIT):
+        in_specs += [page_spec(32), page_spec(32), page_spec(32),
+                     page_spec(1), dict_spec(nc)]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((R * P, 128), jnp.int32),     # packed cmds
+        jax.ShapeDtypeStruct((max_chunks * P, CHUNK_W), jnp.int32),
+        jax.ShapeDtypeStruct((max_chunks, P), jnp.int32),  # ch_start
+        jax.ShapeDtypeStruct((max_chunks, P), jnp.int32),  # ch_count
+        jax.ShapeDtypeStruct((P, 1), jnp.int32),           # ncmds
+        jax.ShapeDtypeStruct((P, 2), jnp.int32),           # stats
+    )
+    out_specs = (
+        any_spec, any_spec,
+        vspec((max_chunks, pb), lambda i: (0, i)),
+        vspec((max_chunks, pb), lambda i: (0, i)),
+        vspec((pb, 1), lambda i: (i, 0)),
+        vspec((pb, 2), lambda i: (i, 0)),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, pb, 128), jnp.int32),      # stage_cmd (packed)
+            pltpu.VMEM((2, pb, CHUNK_W), jnp.int32),  # stage_lit
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(buf3, bp0, npd,
+      icp_s[0], icp_s[1], icp_s[2], icp_triv[:, None], icp_s[3],
+      dst_s[0], dst_s[1], dst_s[2], dst_triv[:, None], dst_s[3],
+      lit_s[0], lit_s[1], lit_s[2], lit_triv[:, None], lit_s[3])
+    (cmd_t, lit_t, chs, chc, ncmds, stats) = outs
+    return (ncmds[:, 0], lit_t, chs, chc, cmd_t,
+            npostfix, ndirect, isdelta, stats)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def finish_pallas(lit_t, chs, chc, page_size: int, cbucket: int,
+                  lit_cap: int):
+    """Compact literal chunk slots into the dense per-page literal queue.
+
+    Same scatter-max + cummax covering-chunk search as the XLA phase A
+    (ops/decode.py), operating on the kernel's chunk-major layout."""
+    maxC, P = chs.shape
+    slotbuf = lit_t[: cbucket * P].reshape(cbucket, P, CHUNK_W) \
+        .transpose(1, 0, 2).reshape(P, cbucket * CHUNK_W)
+    ch_start = chs.T                                    # [P, maxC]
+    ch_count = chc.T
+    q = jnp.broadcast_to(jnp.arange(lit_cap, dtype=I32)[None, :],
+                         (P, lit_cap))
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    chunk_ids = jnp.broadcast_to(jnp.arange(maxC, dtype=I32)[None, :],
+                                 (P, maxC))
+    nonempty = ch_count > 0
+    cpos = jnp.where(nonempty, jnp.clip(ch_start, 0, lit_cap), lit_cap)
+    cmark = jnp.zeros((P, lit_cap), I32)
+    cmark = cmark.at[rows, cpos].max(chunk_ids, mode="drop")
+    chunk_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, cbucket - 1)
+    st = jnp.take_along_axis(ch_start, chunk_of, axis=1)
+    slot = jnp.clip(chunk_of * CHUNK_W + (q - st), 0,
+                    cbucket * CHUNK_W - 1)
+    litbuf = jnp.take_along_axis(slotbuf, slot, axis=1).astype(jnp.uint8)
+    return litbuf[:, :page_size]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def cmds_from_rounds(cmd_t, P: int, rbucket: int):
+    """[R*P, 128] packed round-major kernel output -> four [P, rbucket*32]
+    command arrays (ins, cpy, dcode, dextra = lane slots 0..3)."""
+    x = cmd_t[: rbucket * P].reshape(rbucket, P, 4, NBS).transpose(1, 0, 2, 3)
+    x = x.transpose(0, 2, 1, 3).reshape(P, 4, rbucket * NBS)
+    return x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+
+
+# ---------------------------------------------------------------------------
+# Host-side hints
+# ---------------------------------------------------------------------------
+
+def stream_words_hint(page_blobs) -> int:
+    """Max per-stream word count over compressed pages (host-side parse of
+    the self-describing size table; mirrors parse_page_headers).
+
+    Items are either a full page blob, or ``(prefix, total_size)`` where
+    prefix holds at least the page header + size table (the field widths
+    derive from the page's TOTAL compressed size, so a bare truncated
+    prefix would be misparsed)."""
+    best = 1
+    for item in page_blobs:
+        if isinstance(item, tuple):
+            blob, n = item
+        else:
+            blob, n = item, len(item)
+        if n < 5:
+            continue
+        bits = int.from_bytes(blob[:16].ljust(16, b"\0"), "little")
+        r_avg = (n + NBS - 1) // NBS
+        base_bits = r_avg.bit_length()
+        dlt_bits_bits = ((n - 1).bit_length()).bit_length()
+        base = (bits >> 8) & ((1 << base_bits) - 1)
+        dlt_bits = (bits >> (8 + base_bits)) & ((1 << dlt_bits_bits) - 1)
+        if dlt_bits == 0:
+            maxlen = base
+        elif (8 + base_bits + dlt_bits_bits + NBS * dlt_bits + 7) // 8 \
+                > len(blob):
+            maxlen = n          # prefix too short: conservative bound
+        else:
+            pos = 8 + base_bits + dlt_bits_bits
+            need = (pos + NBS * dlt_bits + 7) // 8
+            big = int.from_bytes(blob[:need].ljust(need, b"\0"), "little")
+            mx = 0
+            for s in range(NBS):
+                d = (big >> (pos + s * dlt_bits)) & ((1 << dlt_bits) - 1)
+                if d > mx:
+                    mx = d
+            maxlen = base + mx
+        wlen = maxlen // 4 + 2
+        if wlen > best:
+            best = wlen
+    return best
+
+
+def wl_bucket(wl: int) -> int:
+    """Round the per-stream word capacity up to a power-of-two bucket
+    (bounds the number of compiled kernel variants)."""
+    b = 32
+    while b < wl:
+        b *= 2
+    return b
+
+
+def pallas_enabled() -> bool:
+    return os.environ.get("BLG_PALLAS", "1") != "0"

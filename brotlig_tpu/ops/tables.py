@@ -47,6 +47,12 @@ def parse_page_headers(words: jnp.ndarray, in_sizes: jnp.ndarray):
     Returns (npostfix [P], ndirect [P], isdelta [P], lane_bitpos [P,32]).
     Mirrors PageDecoder.cpp:83-121.
     """
+    return parse_page_headers_full(words, in_sizes)[:4]
+
+
+def parse_page_headers_full(words: jnp.ndarray, in_sizes: jnp.ndarray):
+    """parse_page_headers plus per-lane stream byte offsets [P, 32]
+    (needed by the Pallas decoder's per-stream buffer relayout)."""
     P = words.shape[0]
     nbs = C.NUM_BITSTREAMS
     pos0 = jnp.zeros((P, 1), dtype=I32)
@@ -76,8 +82,9 @@ def parse_page_headers(words: jnp.ndarray, in_sizes: jnp.ndarray):
                        delta_size_bits[:, None]).astype(I32)
     stream_len = base_size[:, None] + deltas
     stream_start = jnp.cumsum(stream_len, axis=1) - stream_len
-    lane_bitpos = header_bits[:, None] + stream_start * 8
-    return npostfix, ndirect, isdelta, lane_bitpos
+    stream_bytes = header_bits[:, None] // 8 + stream_start
+    lane_bitpos = stream_bytes * 8
+    return npostfix, ndirect, isdelta, lane_bitpos, stream_bytes
 
 
 # ---------------------------------------------------------------------------

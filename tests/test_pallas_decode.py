@@ -1,0 +1,87 @@
+"""Pallas phase-A kernel vs the XLA phase A: full equality + end-to-end.
+
+Runs the kernel in interpret mode on CPU (tests/conftest.py pins the
+default device); on real TPU hardware the same code path compiles via
+Mosaic (exercised by bench.py / BROTLIG_TEST_TPU runs).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from brotlig_tpu.ops.decode import (_stage_symbols, decode_pages,
+                                    max_cmds_for)
+from brotlig_tpu.ops import pallas_decode as PD
+from brotlig_tpu.refimpl.page_encoder import encode_page
+
+from test_roundtrip import make_data
+from test_ops_decode import batch
+
+
+@pytest.fixture(scope="module")
+def mixed_batch():
+    n = 32768
+    kinds = ["text", "repetitive", "structured", "zeros"]
+    datas = [make_data(k, 3000, seed=i + 1) for i, k in enumerate(kinds)]
+    comps = [encode_page(d, is_last=True) for d in datas]
+    keep = [(c, d) for c, d in zip(comps, datas) if c is not None]
+    words, sizes = batch([c for c, _ in keep], n)
+    return n, keep, words, sizes
+
+
+class TestPallasPhaseA:
+    def test_matches_xla_phase_a(self, mixed_batch):
+        n, keep, words, sizes = mixed_batch
+        mc = max_cmds_for(n)
+        (ncmds_x, litbuf_x, ins_x, cpy_x, dco_x, dex_x,
+         *_rest) = _stage_symbols(words, sizes, n, mc)
+        ncmds_x = np.asarray(ncmds_x)
+
+        wl = PD.wl_bucket(PD.stream_words_hint([c for c, _ in keep]))
+        (ncmds_p, lit_t, chs, chc, cmd_t, _npf, _ndi, _isd,
+         stats) = PD.phase_a_pallas(words, sizes, n, mc, wl, True)
+        assert (np.asarray(ncmds_p) == ncmds_x).all()
+
+        P = len(keep)
+        R = mc // 32
+        arrs_p = [np.asarray(a) for a in PD.cmds_from_rounds(cmd_t, P, R)]
+        for a_p, a_x in zip(arrs_p, (ins_x, cpy_x, dco_x, dex_x)):
+            a_x = np.asarray(a_x)
+            for p in range(P):
+                k = ncmds_x[p]
+                assert (a_p[p, :k] == a_x[p, :k]).all()
+
+        litbuf_p = np.asarray(PD.finish_pallas(
+            lit_t, chs, chc, n, chs.shape[0], n + 64))
+        litbuf_x = np.asarray(litbuf_x)
+        for p in range(P):
+            nlit = int(np.asarray(ins_x)[p, : ncmds_x[p]].sum())
+            assert (litbuf_p[p, :nlit] == litbuf_x[p, :nlit]).all()
+
+    def test_end_to_end_decode(self, mixed_batch):
+        n, keep, words, sizes = mixed_batch
+        s_hint = PD.stream_words_hint([c for c, _ in keep])
+        out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
+                                 w_hint=None, s_hint=s_hint)
+        out = np.asarray(out)
+        for p, (_, d) in enumerate(keep):
+            assert out[p, : len(d)].tobytes() == d
+
+
+def test_stream_words_hint_covers_actual_layout():
+    # the hint must bound the per-stream word cursor reach for every page
+    n = 32768
+    datas = [make_data(k, 8192, seed=s)
+             for k in ("text", "repetitive") for s in (1, 2)]
+    comps = [c for c in (encode_page(d, is_last=True) for d in datas)
+             if c is not None]
+    words, sizes = batch(comps, n)
+    from brotlig_tpu.ops.tables import parse_page_headers_full
+    *_hdr, stream_bytes = parse_page_headers_full(words, sizes)
+    sb = np.asarray(stream_bytes)
+    # max stream length in bytes across pages
+    ends = np.concatenate([sb[:, 1:], np.asarray(sizes)[:, None]], axis=1)
+    max_stream = int((ends - sb).max())
+    hint = PD.stream_words_hint(comps)
+    assert hint * 4 >= max_stream
