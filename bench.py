@@ -94,9 +94,11 @@ def main():
     sizes_j = jnp.asarray(sizes)
     mc = max_cmds_for(PAGE_SIZE)
     w_hint = (int(sizes.max()) + 3) // 4
+    from brotlig_tpu.ops.pallas_decode import stream_words_hint
+    s_hint = stream_words_hint(comps)   # routes to the Pallas kernels
 
     # warmup + correctness check
-    out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint)
+    out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
     out_np = np.asarray(out)
     for i in range(min(4, n_pages)):
         assert out_np[i].tobytes() == pages[i], f"bench page {i} mismatch"
@@ -104,7 +106,7 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint)
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
         np.asarray(out)  # fetch forces completion (PERF.md timing rule)
         times.append(time.perf_counter() - t0)
     dt = min(times)

@@ -19,6 +19,7 @@ Architecture (vs the reference GPU kernel BrotliGCompute.hlsl:1349-1432):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -346,11 +347,22 @@ def _resolve_distances(ins_a, cpy_a, dcode_a, dextra_a, ncmds,
     dl = jnp.concatenate([dl, jnp.zeros((P, 4), I32)], axis=1)
 
     iters = max(1, (N + 4 - 1).bit_length())
-    for _ in range(iters):
+
+    def dbl_body(c):
+        i, parent, dl, _ = c
         par_par = jnp.take_along_axis(parent, parent, axis=1)
         dl_par = jnp.take_along_axis(dl, parent, axis=1)
-        dl = dl + dl_par
-        parent = par_par
+        return i + 1, par_par, dl + dl_par, jnp.any(par_par != parent)
+
+    def dbl_cond(c):
+        i, _, _, changed = c
+        # ring chains are short (depth <= 3 + small delta hops); exit as
+        # soon as doubling reaches a fixed point instead of log2(N) rounds
+        return (i < iters) & changed
+
+    _, parent, dl, _ = jax.lax.while_loop(
+        dbl_cond, dbl_body,
+        (jnp.int32(0), parent, dl, jnp.bool_(True)))
 
     dist = jnp.take_along_axis(val, parent, axis=1) + dl
     return dist[:, :N]
@@ -533,10 +545,19 @@ def _finish_pallas_state(out, page_size: int, max_cmds: int):
     peak = int(np.asarray(jnp.max(ncmds))) + 1
     rbucket = _bucket_sizes((peak + NBS - 1) // NBS + 1, R)
     cbucket = _bucket_sizes(int(stats_np[:, 0].max()) + 1, chs.shape[0])
-    litbuf = PD.finish_pallas(lit_t, chs, chc, page_size, cbucket, lit_cap)
-    ins_a, cpy_a, dcode_a, dextra_a = PD.cmds_from_rounds(cmd_t, P, rbucket)
-    out_pages = _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
-                          npostfix, ndirect, page_size, rbucket * NBS)
+    if os.environ.get("BLG_PALLAS_B", "1") != "0":
+        npd = jnp.stack([npostfix, ndirect], axis=1)
+        out_pages = PD.finish_decode_pallas(
+            ncmds, lit_t, chs, chc, cmd_t, npd, page_size, cbucket,
+            rbucket, _pallas_interpret())
+    else:
+        litbuf = PD.finish_pallas(lit_t, chs, chc, page_size, cbucket,
+                                  lit_cap)
+        ins_a, cpy_a, dcode_a, dextra_a = PD.cmds_from_rounds(
+            cmd_t, P, rbucket)
+        out_pages = _stage_lz(ncmds, litbuf, ins_a, cpy_a, dcode_a,
+                              dextra_a, npostfix, ndirect, page_size,
+                              rbucket * NBS)
     return out_pages, isdelta
 
 

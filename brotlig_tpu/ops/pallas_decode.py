@@ -91,18 +91,19 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                dst_lim, dst_first, dst_off, dst_triv, dst_dict,
                lit_lim, lit_first, lit_off, lit_triv, lit_dict,
                cmd_out, lit_out,
-               chs_out, chc_out, ncmds_out, stats_out,
+               rec_out, ncmds_out, stats_out,
                stage_cmd, stage_lit, sem_cmd, sem_lit):
         blk = pl.program_id(0)
         nblk = pl.num_programs(0)
         lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
         s_of = lane & (NBS - 1)      # stream id of a lane
         j_of = lane >> 5             # slot / literal-batch id
-        eye = (jax.lax.broadcasted_iota(I32, (pb, pb), 0)
-               == jax.lax.broadcasted_iota(I32, (pb, pb), 1)).astype(I32)
+        eye = (jax.lax.broadcasted_iota(I32, (pb, 128), 0)
+               == jax.lax.broadcasted_iota(I32, (pb, 128), 1)).astype(I32)
 
         def col_to_row(v):
-            # [pb, 1] page-column -> [1, pb] lane-row (for chunk records)
+            # [pb, 1] page-column -> [1, 128] lane-row, page p at lane p
+            # (records are 128-wide so their block spec is tile-aligned)
             return jnp.sum(v * eye, axis=0, keepdims=True)
 
         def bcast_slots(v):
@@ -111,9 +112,9 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             return (v0 + pltpu.roll(v0, 32, 1) + pltpu.roll(v0, 64, 1)
                     + pltpu.roll(v0, 96, 1))
 
-        # defaults keep unwritten chunk ends sorted for the compaction
-        chs_out[:] = jnp.full((max_chunks, pb), lit_cap, I32)
-        chc_out[:] = jnp.zeros((max_chunks, pb), I32)
+        # packed (start << 8 | count) records; defaults keep unwritten
+        # chunk starts sorted for the compaction, count = 0
+        rec_out[:] = jnp.full((max_chunks, 128), lit_cap << 8, I32)
 
         npf = npd_ref[:, 0:1]
         ndir = npd_ref[:, 1:2]
@@ -230,8 +231,7 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
 
             start = qtail + jnp.minimum(lbase, rlit)
             count = jnp.clip(rlit - lbase, 0, CHUNK_W)
-            chs_out[pl.ds(cw, 1), :] = col_to_row(start)
-            chc_out[pl.ds(cw, 1), :] = col_to_row(count)
+            rec_out[pl.ds(cw, 1), :] = col_to_row((start << 8) | count)
             return bp, cidx + 1
 
         # ---- command round ----
@@ -485,18 +485,17 @@ def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
         in_specs += [page_spec(32), page_spec(32), page_spec(32),
                      page_spec(1), dict_spec(nc)]
 
+    nblk = P // pb
     out_shape = (
         jax.ShapeDtypeStruct((R * P, 128), jnp.int32),     # packed cmds
         jax.ShapeDtypeStruct((max_chunks * P, CHUNK_W), jnp.int32),
-        jax.ShapeDtypeStruct((max_chunks, P), jnp.int32),  # ch_start
-        jax.ShapeDtypeStruct((max_chunks, P), jnp.int32),  # ch_count
+        jax.ShapeDtypeStruct((max_chunks, nblk * 128), jnp.int32),  # records
         jax.ShapeDtypeStruct((P, 1), jnp.int32),           # ncmds
         jax.ShapeDtypeStruct((P, 2), jnp.int32),           # stats
     )
     out_specs = (
         any_spec, any_spec,
-        vspec((max_chunks, pb), lambda i: (0, i)),
-        vspec((max_chunks, pb), lambda i: (0, i)),
+        vspec((max_chunks, 128), lambda i: (0, i)),
         vspec((pb, 1), lambda i: (i, 0)),
         vspec((pb, 2), lambda i: (i, 0)),
     )
@@ -519,7 +518,11 @@ def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
       icp_s[0], icp_s[1], icp_s[2], icp_triv[:, None], icp_s[3],
       dst_s[0], dst_s[1], dst_s[2], dst_triv[:, None], dst_s[3],
       lit_s[0], lit_s[1], lit_s[2], lit_triv[:, None], lit_s[3])
-    (cmd_t, lit_t, chs, chc, ncmds, stats) = outs
+    (cmd_t, lit_t, rec, ncmds, stats) = outs
+    # packed records: [max_chunks, nblk*128] 128-wide rows -> [max_chunks, P]
+    rec = rec.reshape(max_chunks, nblk, 128)[:, :, :pb].reshape(-1, P)
+    chs = rec >> 8
+    chc = rec & 255
     return (ncmds[:, 0], lit_t, chs, chc, cmd_t,
             npostfix, ndirect, isdelta, stats)
 
@@ -527,6 +530,11 @@ def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def finish_pallas(lit_t, chs, chc, page_size: int, cbucket: int,
                   lit_cap: int):
+    return _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
+
+
+def _compact_literals(lit_t, chs, chc, page_size: int, cbucket: int,
+                      lit_cap: int):
     """Compact literal chunk slots into the dense per-page literal queue.
 
     Same scatter-max + cummax covering-chunk search as the XLA phase A
@@ -555,11 +563,246 @@ def finish_pallas(lit_t, chs, chc, page_size: int, cbucket: int,
 
 @partial(jax.jit, static_argnums=(1, 2))
 def cmds_from_rounds(cmd_t, P: int, rbucket: int):
+    return _cmds_split(cmd_t, P, rbucket)
+
+
+def _cmds_split(cmd_t, P: int, rbucket: int):
     """[R*P, 128] packed round-major kernel output -> four [P, rbucket*32]
     command arrays (ins, cpy, dcode, dextra = lane slots 0..3)."""
     x = cmd_t[: rbucket * P].reshape(rbucket, P, 4, NBS).transpose(1, 0, 2, 3)
     x = x.transpose(0, 2, 1, 3).reshape(P, 4, rbucket * NBS)
     return x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
+                         page_size: int, cbucket: int, rbucket: int,
+                         interpret: bool = False):
+    """Single-dispatch finish path: literal compaction + command split +
+    phase-B chunk-sweep kernel, all in one compiled program."""
+    P = ncmds.shape[0]
+    lit_cap = page_size + 64
+    litbuf = _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
+    ins_a, cpy_a, dcode_a, dextra_a = _cmds_split(cmd_t, P, rbucket)
+    return _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+                          npd, page_size, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: chunk-sweep LZ77 execution kernel
+# ---------------------------------------------------------------------------
+#
+# TPU-native analog of the reference GPU kernel's copy loop
+# (BrotliGCompute.hlsl:1401-1419): the output page lives in VMEM and is
+# produced 128 bytes per step, left to right, so every copy source reads
+# already-final bytes from on-chip memory. Replaces the XLA pointer-doubling
+# chase (ops/decode.py::_phase_b), whose every iteration gathers a [P, 64K]
+# operand from HBM.
+#
+# Per 128-byte output chunk:
+#   1. covering command per lane: the commands are sorted by output start,
+#      so an 8-step per-lane binary search over a 256-command sliding
+#      window (take_along_axis probes) finds the rank — no scatter needed;
+#   2. copy sources are rebased with the closed-form overlap escape
+#      src = cstart - d + (pos - cstart) % d  (always outside the copy's
+#      own region, cf. ops/decode.py phase B), so in-chunk chains only hop
+#      across commands and 7 map-doubling rounds resolve them;
+#   3. resolved sources (< chunk base) and literal ids are fetched with
+#      adaptive chunk ladders over the VMEM-resident output / literal
+#      buffers — the trip count follows the data's actual distance spread.
+
+MAX_PB_B = 8                     # pages per phase-B block (VMEM budget)
+
+
+def make_phase_b_kernel(S: int, nch: int, ncmdch: int, lch: int, pb: int):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(st_ref, cst_ref, lst_ref, dst_ref, lit_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
+        ncmd_pad = ncmdch * 128
+
+        def gather_window(ref, idxc):
+            """Ladder-gather ref[NCMDCH, pb, 128] at clustered indices."""
+            kmin = jnp.min(idxc) >> 7
+            kmax = jnp.max(idxc) >> 7
+
+            def body(k, acc):
+                g = jnp.take_along_axis(ref[k], idxc & 127, axis=1)
+                return jnp.where((idxc >> 7) == k, g, acc)
+
+            return jax.lax.fori_loop(kmin, kmax + 1, body,
+                                     jnp.zeros((pb, 128), I32))
+
+        def chunk_body(c, c0):
+            base = c * 128
+            pos = base + lane
+            idx0 = jnp.clip(c0 + lane, 0, ncmd_pad - 1)
+            idx1 = jnp.clip(c0 + 128 + lane, 0, ncmd_pad - 1)
+
+            # windows of the 4 command fields (two 128-vectors each)
+            kmin = jnp.min(idx0) >> 7
+            kmax = jnp.max(idx1) >> 7
+
+            def wbody(k, acc):
+                out = []
+                for ref, (a0, a1) in zip((st_ref, cst_ref, lst_ref,
+                                          dst_ref), acc):
+                    ch = ref[k]
+                    g0 = jnp.take_along_axis(ch, idx0 & 127, axis=1)
+                    g1 = jnp.take_along_axis(ch, idx1 & 127, axis=1)
+                    out.append((jnp.where((idx0 >> 7) == k, g0, a0),
+                                jnp.where((idx1 >> 7) == k, g1, a1)))
+                return tuple(out)
+
+            zero2 = (jnp.zeros((pb, 128), I32), jnp.zeros((pb, 128), I32))
+            ((w0_st, w1_st), (w0_cst, w1_cst), (w0_lst, w1_lst),
+             (w0_dst, w1_dst)) = jax.lax.fori_loop(
+                kmin, kmax + 1, wbody, (zero2, zero2, zero2, zero2))
+
+            # per-lane binary search: largest window rank with start <= pos
+            lo = jnp.zeros((pb, 128), I32)
+            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                probe = lo + step
+                pc = jnp.clip(probe, 0, 255)
+                sp = jnp.where(
+                    pc < 128,
+                    jnp.take_along_axis(w0_st, pc & 127, axis=1),
+                    jnp.take_along_axis(w1_st, pc & 127, axis=1))
+                lo = jnp.where((probe <= 255) & (sp <= pos), probe, lo)
+            rel = lo
+
+            def at_rel(w0, w1):
+                rc = jnp.clip(rel, 0, 255)
+                return jnp.where(
+                    rc < 128,
+                    jnp.take_along_axis(w0, rc & 127, axis=1),
+                    jnp.take_along_axis(w1, rc & 127, axis=1))
+
+            st_l = at_rel(w0_st, w1_st)
+            cst_l = at_rel(w0_cst, w1_cst)
+            lst_l = at_rel(w0_lst, w1_lst)
+            dst_l = at_rel(w0_dst, w1_dst)
+
+            in_ins = pos < cst_l
+            lit_id = jnp.clip(lst_l + (pos - st_l), 0, lch * 128 - 1)
+            d = jnp.maximum(dst_l, 1)
+            a = jnp.maximum(pos - cst_l, 0)
+            # a % d via exact f32 division (operands < 2^17) + correction
+            q = jnp.floor(a.astype(jnp.float32)
+                          / d.astype(jnp.float32)).astype(I32)
+            r = a - q * d
+            r = jnp.where(r < 0, r + d, r)
+            r = jnp.where(r >= d, r - d, r)
+            srcc = jnp.clip(cst_l - d + r, 0, S - 1)
+            src = jnp.where(in_ins, S + lit_id, srcc)
+
+            # in-chunk chains: 7 rounds of map doubling
+            for _ in range(7):
+                inchunk = (src >= base) & (src < base + 128)
+                nxt = jnp.take_along_axis(
+                    src, jnp.clip(src - base, 0, 127), axis=1)
+                src = jnp.where(inchunk, nxt, src)
+
+            is_lit = src >= S
+            lid = jnp.where(is_lit, src - S, 0)
+            byte = jnp.zeros((pb, 128), I32)
+            lkmin = jnp.min(jnp.where(is_lit, lid, lch * 128 - 1)) >> 7
+            lkmax = jnp.max(jnp.where(is_lit, lid, 0)) >> 7
+
+            def lbody(k, acc):
+                g = jnp.take_along_axis(lit_ref[k], lid & 127, axis=1)
+                return jnp.where(is_lit & ((lid >> 7) == k), g, acc)
+
+            byte = jax.lax.fori_loop(lkmin, lkmax + 1, lbody, byte)
+
+            csel = jnp.where(is_lit, 0, jnp.clip(src, 0, S - 1))
+            ckmin = jnp.min(jnp.where(is_lit, S - 1, csel)) >> 7
+            ckmax = jnp.max(csel) >> 7
+
+            def cbody(k, acc):
+                g = jnp.take_along_axis(out_ref[k], csel & 127, axis=1)
+                return jnp.where((~is_lit) & ((csel >> 7) == k), g, acc)
+
+            byte = jax.lax.fori_loop(ckmin, ckmax + 1, cbody, byte)
+
+            out_ref[pl.ds(c, 1)] = byte[None]
+            return jnp.max(c0 + rel, axis=1, keepdims=True)
+
+        jax.lax.fori_loop(0, nch, chunk_body, jnp.zeros((pb, 1), I32))
+
+    return kernel
+
+
+def _to_chunk_major(x, nchunks: int, pad_val: int = 0):
+    """[P, W] -> [ceil(W/128) chunks, P, 128] (chunk-major for dynamic
+    first-dim indexing in the kernel)."""
+    P, W = x.shape
+    pad = nchunks * 128 - W
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=pad_val)
+    return x.reshape(P, nchunks, 128).transpose(1, 0, 2)
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
+                   page_size: int, interpret: bool = False):
+    return _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
+                          npd, page_size, interpret)
+
+
+def _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
+                   page_size: int, interpret: bool = False):
+    """Masked command prep + distance resolution (XLA) + the chunk-sweep
+    LZ kernel. Returns out [P, page_size] uint8."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .decode import _resolve_distances
+
+    P, N = ins_a.shape
+    S = page_size
+    pb = MAX_PB_B
+    while P % pb:
+        pb -= 1
+    cid = jnp.arange(N, dtype=I32)[None, :]
+    valid = cid < ncmds[:, None]
+    ins_m = jnp.where(valid, ins_a, 0)
+    cpy_m = jnp.where(valid, cpy_a, 0)
+    dist = _resolve_distances(ins_m, cpy_m, dcode_a, dextra_a, ncmds,
+                              npd[:, 0], npd[:, 1], N)
+    cov = ins_m + cpy_m
+    st = jnp.cumsum(cov, axis=1) - cov
+    cst = st + ins_m
+    lst = jnp.cumsum(ins_m, axis=1) - ins_m
+    # invalid commands must never win the binary search
+    st = jnp.where(valid, st, jnp.int32(1) << 29)
+
+    ncmdch = (N + 127) // 128
+    nch = S // 128
+    lch = (litbuf.shape[1] + 127) // 128
+    st3 = _to_chunk_major(st, ncmdch, pad_val=1 << 29)
+    cst3 = _to_chunk_major(cst, ncmdch)
+    lst3 = _to_chunk_major(lst, ncmdch)
+    dst3 = _to_chunk_major(dist, ncmdch)
+    lit3 = _to_chunk_major(litbuf.astype(I32), lch)
+
+    kernel = make_phase_b_kernel(S, nch, ncmdch, lch, pb)
+
+    def vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def cm_spec(ncsh):
+        return vspec((ncsh, pb, 128), lambda i: (0, i, 0))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(P // pb,),
+        out_shape=jax.ShapeDtypeStruct((nch, P, 128), jnp.int32),
+        in_specs=[cm_spec(ncmdch)] * 4 + [cm_spec(lch)],
+        out_specs=cm_spec(nch),
+        interpret=interpret,
+    )(st3, cst3, lst3, dst3, lit3)
+    return out.transpose(1, 0, 2).reshape(P, nch * 128)[:, :S] \
+        .astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -610,11 +853,15 @@ def stream_words_hint(page_blobs) -> int:
 
 
 def wl_bucket(wl: int) -> int:
-    """Round the per-stream word capacity up to a power-of-two bucket
-    (bounds the number of compiled kernel variants)."""
+    """Round the per-stream word capacity up to a bucket (bounds the
+    number of compiled kernel variants): powers of two to 256, then
+    multiples of 64 (the interleave buffer is the biggest VMEM consumer,
+    so coarse buckets above 256 would waste the budget)."""
     b = 32
-    while b < wl:
+    while b < min(wl, 256):
         b *= 2
+    while b < wl:
+        b += 64
     return b
 
 
