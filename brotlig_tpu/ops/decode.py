@@ -541,9 +541,10 @@ def _finish_pallas_state(out, page_size: int, max_cmds: int):
     P = ncmds.shape[0]
     R = max_cmds // NBS
     lit_cap = page_size + 64
+    # ONE host fetch sizes both buckets: stats = (chunks used, rounds
+    # used) per block; rounds bound the command count (32/round)
     stats_np = np.asarray(stats)
-    peak = int(np.asarray(jnp.max(ncmds))) + 1
-    rbucket = _bucket_sizes((peak + NBS - 1) // NBS + 1, R)
+    rbucket = _bucket_sizes(int(stats_np[:, 1].max()) + 1, R)
     cbucket = _bucket_sizes(int(stats_np[:, 0].max()) + 1, chs.shape[0])
     if os.environ.get("BLG_PALLAS_B", "1") != "0":
         npd = jnp.stack([npostfix, ndirect], axis=1)

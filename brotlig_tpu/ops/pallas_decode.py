@@ -581,11 +581,22 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     """Single-dispatch finish path: literal compaction + command split +
     phase-B chunk-sweep kernel, all in one compiled program."""
     P = ncmds.shape[0]
+    ins_a, cpy_a, dcode_a, dextra_a = _cmds_split(cmd_t, P, rbucket)
+    if cbucket <= 1024:
+        # feed phase B the raw slot chunks + records: no compaction pass
+        slots = lit_t[: cbucket * P].reshape(cbucket, P, CHUNK_W)
+        recs = chs[:cbucket].T
+        return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
+                              dextra_a, npd, page_size, interpret)
+    # pathological chunk counts: compact first (bounds phase-B VMEM)
     lit_cap = page_size + 64
     litbuf = _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
-    ins_a, cpy_a, dcode_a, dextra_a = _cmds_split(cmd_t, P, rbucket)
-    return _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
-                          npd, page_size, interpret)
+    lch = (litbuf.shape[1] + 127) // 128
+    slots = _to_chunk_major(litbuf.astype(I32), lch)
+    recs = jnp.broadcast_to(
+        (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
+    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
+                          dextra_a, npd, page_size, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -614,10 +625,16 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
 MAX_PB_B = 8                     # pages per phase-B block (VMEM budget)
 
 
-def make_phase_b_kernel(S: int, nch: int, ncmdch: int, lch: int, pb: int):
+def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
+                        cbucket: int, pb: int):
     from jax.experimental import pallas as pl  # noqa: F401
 
-    def kernel(st_ref, cst_ref, lst_ref, dst_ref, lit_ref, out_ref):
+    def kernel(st_ref, cst_ref, lst_ref, dst_ref, chc_ref, chs_ref,
+               lit_ref, out_ref):
+        # chc_ref [pb, 128]: coarse record starts (first start of each
+        # 128-record chunk, padded with a big sorted sentinel);
+        # chs_ref [nrecch, pb, 128]: per-record literal-queue starts;
+        # lit_ref [cbucket, pb, 128]: raw literal slot chunks from phase A.
         lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
         ncmd_pad = ncmdch * 128
 
@@ -684,7 +701,8 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, lch: int, pb: int):
             dst_l = at_rel(w0_dst, w1_dst)
 
             in_ins = pos < cst_l
-            lit_id = jnp.clip(lst_l + (pos - st_l), 0, lch * 128 - 1)
+            lit_id = jnp.clip(lst_l + (pos - st_l), 0,
+                              cbucket * 128 - 1)
             d = jnp.maximum(dst_l, 1)
             a = jnp.maximum(pos - cst_l, 0)
             # a % d via exact f32 division (operands < 2^17) + correction
@@ -706,24 +724,71 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, lch: int, pb: int):
             is_lit = src >= S
             lid = jnp.where(is_lit, src - S, 0)
             byte = jnp.zeros((pb, 128), I32)
-            lkmin = jnp.min(jnp.where(is_lit, lid, lch * 128 - 1)) >> 7
-            lkmax = jnp.max(jnp.where(is_lit, lid, 0)) >> 7
 
-            def lbody(k, acc):
-                g = jnp.take_along_axis(lit_ref[k], lid & 127, axis=1)
-                return jnp.where(is_lit & ((lid >> 7) == k), g, acc)
+            # literal id -> slot chunk via two-level search over the
+            # phase-A chunk records (starts are sorted; empty records
+            # share their start with the next one and lose the
+            # largest-index tie-break, so the covering record wins)
+            rch = jnp.zeros((pb, 128), I32)
+            coarse = chc_ref[:]                       # [pb, 128]
+            for step in (64, 32, 16, 8, 4, 2, 1):
+                probe = jnp.clip(rch + step, 0, 127)
+                v = jnp.take_along_axis(coarse, probe, axis=1)
+                rch = jnp.where((rch + step <= 127) & (v <= lid), probe,
+                                rch)
 
-            byte = jax.lax.fori_loop(lkmin, lkmax + 1, lbody, byte)
+            def fine_val(off):
+                kmin = jnp.min(rch)
+                kmax = jnp.max(rch)
+
+                def body(k, acc):
+                    g = jnp.take_along_axis(chs_ref[k], off, axis=1)
+                    return jnp.where(rch == k, g, acc)
+
+                return jax.lax.fori_loop(kmin, kmax + 1, body,
+                                         jnp.zeros((pb, 128), I32))
+
+            lo = jnp.zeros((pb, 128), I32)
+            for step in (64, 32, 16, 8, 4, 2, 1):
+                probe = jnp.clip(lo + step, 0, 127)
+                v = fine_val(probe)
+                lo = jnp.where((lo + step <= 127) & (v <= lid), probe, lo)
+            start_of = fine_val(lo)
+            cov = jnp.clip(rch * 128 + lo, 0, cbucket - 1)
+            off = jnp.clip(lid - start_of, 0, 127)
+
+            # gathers iterate over the DISTINCT chunks the lanes actually
+            # need (min-of-pending loop), not the [kmin, kmax] span — trip
+            # count follows the data's real source spread
+            def lbody(carry):
+                byte, pend = carry           # pend: int32 0/1 mask
+                on = pend != 0
+                k = jnp.min(jnp.where(on, cov, cbucket))
+                g = jnp.take_along_axis(
+                    lit_ref[jnp.clip(k, 0, cbucket - 1)], off, axis=1)
+                hit = on & (cov == k)
+                return (jnp.where(hit, g, byte),
+                        jnp.where(hit, 0, pend))
+
+            byte, _ = jax.lax.while_loop(
+                lambda c: jnp.max(c[1]) > 0, lbody,
+                (byte, is_lit.astype(I32)))
 
             csel = jnp.where(is_lit, 0, jnp.clip(src, 0, S - 1))
-            ckmin = jnp.min(jnp.where(is_lit, S - 1, csel)) >> 7
-            ckmax = jnp.max(csel) >> 7
 
-            def cbody(k, acc):
-                g = jnp.take_along_axis(out_ref[k], csel & 127, axis=1)
-                return jnp.where((~is_lit) & ((csel >> 7) == k), g, acc)
+            def cbody(carry):
+                byte, pend = carry
+                on = pend != 0
+                k = jnp.min(jnp.where(on, csel >> 7, nch))
+                g = jnp.take_along_axis(
+                    out_ref[jnp.clip(k, 0, nch - 1)], csel & 127, axis=1)
+                hit = on & ((csel >> 7) == k)
+                return (jnp.where(hit, g, byte),
+                        jnp.where(hit, 0, pend))
 
-            byte = jax.lax.fori_loop(ckmin, ckmax + 1, cbody, byte)
+            byte, _ = jax.lax.while_loop(
+                lambda c: jnp.max(c[1]) > 0, cbody,
+                (byte, (~is_lit).astype(I32)))
 
             out_ref[pl.ds(c, 1)] = byte[None]
             return jnp.max(c0 + rel, axis=1, keepdims=True)
@@ -746,14 +811,25 @@ def _to_chunk_major(x, nchunks: int, pad_val: int = 0):
 @partial(jax.jit, static_argnums=(7, 8))
 def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
                    page_size: int, interpret: bool = False):
-    return _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a,
-                          npd, page_size, interpret)
+    """Phase B over an already-compacted literal buffer: identity slot
+    records (slot j starts at literal 128j)."""
+    P = litbuf.shape[0]
+    lch = (litbuf.shape[1] + 127) // 128
+    slots = _to_chunk_major(litbuf.astype(I32), lch)
+    recs = jnp.broadcast_to(
+        (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
+    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
+                          dextra_a, npd, page_size, interpret)
 
 
-def _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
-                   page_size: int, interpret: bool = False):
+def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
+                   npd, page_size: int, interpret: bool = False):
     """Masked command prep + distance resolution (XLA) + the chunk-sweep
-    LZ kernel. Returns out [P, page_size] uint8."""
+    LZ kernel.
+
+    slots: [CB, P, 128] literal slot chunks (raw phase-A output order);
+    recs:  [P, CB] literal-queue start of each slot (sorted per page).
+    Returns out [P, page_size] uint8."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .decode import _resolve_distances
@@ -778,14 +854,18 @@ def _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
 
     ncmdch = (N + 127) // 128
     nch = S // 128
-    lch = (litbuf.shape[1] + 127) // 128
+    cbucket = slots.shape[0]
+    nrecch = (cbucket + 127) // 128
     st3 = _to_chunk_major(st, ncmdch, pad_val=1 << 29)
     cst3 = _to_chunk_major(cst, ncmdch)
     lst3 = _to_chunk_major(lst, ncmdch)
     dst3 = _to_chunk_major(dist, ncmdch)
-    lit3 = _to_chunk_major(litbuf.astype(I32), lch)
+    recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
+    coarse = recs[:, :: 128]
+    coarse = jnp.pad(coarse, ((0, 0), (0, 128 - coarse.shape[1])),
+                     constant_values=1 << 29)
 
-    kernel = make_phase_b_kernel(S, nch, ncmdch, lch, pb)
+    kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
 
     def vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -797,10 +877,12 @@ def _phase_b_sweep(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
         kernel,
         grid=(P // pb,),
         out_shape=jax.ShapeDtypeStruct((nch, P, 128), jnp.int32),
-        in_specs=[cm_spec(ncmdch)] * 4 + [cm_spec(lch)],
+        in_specs=[cm_spec(ncmdch)] * 4
+        + [vspec((pb, 128), lambda i: (i, 0)),
+           cm_spec(nrecch), cm_spec(cbucket)],
         out_specs=cm_spec(nch),
         interpret=interpret,
-    )(st3, cst3, lst3, dst3, lit3)
+    )(st3, cst3, lst3, dst3, coarse, recs3, slots)
     return out.transpose(1, 0, 2).reshape(P, nch * 128)[:, :S] \
         .astype(jnp.uint8)
 
