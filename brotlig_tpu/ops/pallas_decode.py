@@ -236,7 +236,8 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
 
         # ---- command round ----
         def round_body(carry):
-            (r, cidx, bp, done, ncmds, prev_tail, qtail) = carry
+            (r, cidx, bp, done, ncmds, prev_tail, qtail,
+             rin0, rin1, rin2, rin3) = carry
             active = (done == 0)                       # [pb, 1]
 
             w = fetch6(bp)
@@ -292,6 +293,88 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                               jnp.where(valid & is_norm, 0, -1))
             dextra = jnp.where(valid, dextra, 0)
 
+            # ---- distance-ring resolution (TranslateDistance semantics,
+            # PageDecoder.cpp:345-404) as a prefix scan over lane
+            # transforms. Each lane maps ring_in -> ring_out; a transform
+            # is 4 slots of (src, val): src -1 = constant val, src k =
+            # ring_in[k] + val. That class is closed under composition,
+            # so 5 Hillis-Steele steps resolve all 32 lanes exactly.
+            code = dcode
+            is_rel = (code >= 0) & (code < 16)
+            depth = jnp.where(code < 4, jnp.maximum(code, 0),
+                              jnp.where(code < 10, 0, 1))
+            dmag = (jnp.maximum(code - 4, 0) % 6) // 2 + 1
+            delta = jnp.where((code >= 4) & is_rel,
+                              jnp.where((code & 1) == 1, dmag, -dmag), 0)
+            sc = jnp.maximum(code - ndir - 16, 0)
+            nb = 1 + (sc >> (npf + 1))
+            hc = sc >> npf
+            lc = sc & ((1 << npf) - 1)
+            offs = ((2 + (hc & 1)) << nb) - 4
+            longv = ((offs + dextra) << npf) + lc + ndir + 1
+            absv = jnp.where(code < 16 + ndir, code - 15, longv)
+            is_push = code > 0
+
+            def sel4(j, a0, a1, a2, a3):
+                return jnp.where(j == 0, a0,
+                                 jnp.where(j == 1, a1,
+                                           jnp.where(j == 2, a2, a3)))
+
+            # per-lane transform (identity on non-push lanes)
+            s0 = jnp.where(is_push, jnp.where(is_rel, depth, -1), 0)
+            v0 = jnp.where(is_push, jnp.where(is_rel, delta, absv), 0)
+            s1 = jnp.where(is_push, 0, 1)
+            s2 = jnp.where(is_push, 1, 2)
+            s3 = jnp.where(is_push, 2, 3)
+            v1 = jnp.zeros((pb, 128), I32)
+            v2 = jnp.zeros((pb, 128), I32)
+            v3 = jnp.zeros((pb, 128), I32)
+            T = [(s0, v0), (s1, v1), (s2, v2), (s3, v3)]
+            for shift in (1, 2, 4, 8, 16):
+                A = []
+                for si, (sk, vk) in enumerate(T):
+                    rs = pltpu.roll(sk, shift, 1)
+                    rv = pltpu.roll(vk, shift, 1)
+                    A.append((jnp.where(lane >= shift, rs, si),
+                              jnp.where(lane >= shift, rv, 0)))
+                Tn = []
+                for sk, vk in T:
+                    js = jnp.clip(sk, 0, 3)
+                    as_ = sel4(js, A[0][0], A[1][0], A[2][0], A[3][0])
+                    av = sel4(js, A[0][1], A[1][1], A[2][1], A[3][1])
+                    Tn.append((jnp.where(sk == -1, sk, as_),
+                               jnp.where(sk == -1, vk, av + vk)))
+                T = Tn
+
+            # exclusive prefix for each lane's ring-before
+            E = []
+            for si, (sk, vk) in enumerate(T):
+                rs = pltpu.roll(sk, 1, 1)
+                rv = pltpu.roll(vk, 1, 1)
+                E.append((jnp.where(lane >= 1, rs, si),
+                          jnp.where(lane >= 1, rv, 0)))
+            rin = [rin0, rin1, rin2, rin3]
+
+            def apply_slot(se, ve):
+                base = sel4(jnp.clip(se, 0, 3), *rin)
+                return jnp.where(se == -1, ve, base + ve)
+
+            dsel = jnp.clip(depth, 0, 3)
+            se_d = sel4(dsel, E[0][0], E[1][0], E[2][0], E[3][0])
+            ve_d = sel4(dsel, E[0][1], E[1][1], E[2][1], E[3][1])
+            ring_d = apply_slot(se_d, ve_d)
+            dist = jnp.where(code >= 16, absv,
+                             jnp.where(is_rel, ring_d + delta, 0))
+
+            # fold the round's full composite into the carried ring
+            rin_n = []
+            for si in range(4):
+                s31 = T[si][0][:, 31:32]
+                v31 = T[si][1][:, 31:32]
+                rin_n.append(jnp.where(active, apply_slot(s31, v31),
+                                       rin[si]))
+            rin0_n, rin1_n, rin2_n, rin3_n = rin_n
+
             # stream the round's 32 commands per page out over DMA; the four
             # fields share one 128-lane row (slot f = lanes 32f..32f+31) so
             # the DMA slice is tile-aligned and one copy covers the round
@@ -310,8 +393,7 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             stage_cmd[slot] = (
                 jnp.where(lane32, insert_len, 0)
                 + pltpu.roll(jnp.where(lane32, copy_len, 0), 32, 1)
-                + pltpu.roll(jnp.where(lane32, dcode, 0), 64, 1)
-                + pltpu.roll(jnp.where(lane32, dextra, 0), 96, 1))
+                + pltpu.roll(jnp.where(lane32, dist, 0), 64, 1))
             cmd_dma(slot, r).start()
 
             ncmds = ncmds + jnp.where(active, k, 0)
@@ -342,7 +424,8 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             qtail = qtail + rlit
 
             done = jnp.where(active & (k < NBS), 1, done)
-            return (r + 1, cidx, bp, done, ncmds, prev_tail, qtail)
+            return (r + 1, cidx, bp, done, ncmds, prev_tail, qtail,
+                    rin0_n, rin1_n, rin2_n, rin3_n)
 
         def round_cond(carry):
             r, _, _, done, *_ = carry
@@ -350,8 +433,10 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
 
         init = (jnp.int32(0), jnp.int32(0), bp0_ref[:],
                 jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
-                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32))
-        (r_f, cidx_f, _, _, ncmds, _, _) = jax.lax.while_loop(
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
+                jnp.full((pb, 1), 4, I32), jnp.full((pb, 1), 11, I32),
+                jnp.full((pb, 1), 15, I32), jnp.full((pb, 1), 16, I32))
+        (r_f, cidx_f, _, _, ncmds, *_rest) = jax.lax.while_loop(
             round_cond, round_body, init)
 
         # drain outstanding DMAs
@@ -388,15 +473,17 @@ def _interleave_streams(words, stream_bytes, wl: int):
     """[P, W] page words + [P, 32] stream byte offsets -> [Wc, P, 128]
     word-round-robin interleaved buffer (word w of stream s at w*32+s)."""
     P, W = words.shape
-    w_idx = jnp.arange(wl, dtype=I32)
-    byte0 = stream_bytes[:, None, :] + 4 * w_idx[None, :, None]  # [P,wl,32]
-    flat = byte0.reshape(P, wl * NBS)
+    # word index of (w, s) is (stream_bytes[s] >> 2) + w exactly, so the
+    # "+1 word" operand of the unaligned shift is the next w's gather
+    # result: fetch wl+1 words per stream once instead of two gathers
+    w_idx = jnp.arange(wl + 1, dtype=I32)
+    byte0 = stream_bytes[:, None, :] + 4 * w_idx[None, :, None]
+    flat = byte0.reshape(P, (wl + 1) * NBS)
     lo_i = jnp.clip(flat >> 2, 0, W - 1)
-    sh = ((flat & 3) * 8).astype(U32)
-    g = jnp.take_along_axis(words, jnp.concatenate(
-        [lo_i, jnp.clip(lo_i + 1, 0, W - 1)], axis=1), axis=1)
+    g = jnp.take_along_axis(words, lo_i, axis=1)
     g1 = g[:, : wl * NBS].astype(U32)
-    g2 = g[:, wl * NBS:].astype(U32)
+    g2 = g[:, NBS:].astype(U32)
+    sh = (((flat[:, : wl * NBS]) & 3) * 8).astype(U32)
     val = (g1 >> sh) | jnp.where(sh == 0, jnp.uint32(0),
                                  g2 << (jnp.uint32(32) - sh))
     wc = wl * NBS // 128
@@ -581,13 +668,14 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     """Single-dispatch finish path: literal compaction + command split +
     phase-B chunk-sweep kernel, all in one compiled program."""
     P = ncmds.shape[0]
-    ins_a, cpy_a, dcode_a, dextra_a = _cmds_split(cmd_t, P, rbucket)
+    ins_a, cpy_a, dist_a, _ = _cmds_split(cmd_t, P, rbucket)
     if cbucket <= 1024:
         # feed phase B the raw slot chunks + records: no compaction pass
         slots = lit_t[: cbucket * P].reshape(cbucket, P, CHUNK_W)
         recs = chs[:cbucket].T
-        return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
-                              dextra_a, npd, page_size, interpret)
+        return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dist_a,
+                              None, npd, page_size, interpret,
+                              resolved=True)
     # pathological chunk counts: compact first (bounds phase-B VMEM)
     lit_cap = page_size + 64
     litbuf = _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
@@ -595,8 +683,8 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     slots = _to_chunk_major(litbuf.astype(I32), lch)
     recs = jnp.broadcast_to(
         (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
-    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
-                          dextra_a, npd, page_size, interpret)
+    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dist_a,
+                          None, npd, page_size, interpret, resolved=True)
 
 
 # ---------------------------------------------------------------------------
@@ -622,19 +710,23 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
 #      adaptive chunk ladders over the VMEM-resident output / literal
 #      buffers — the trip count follows the data's actual distance spread.
 
-MAX_PB_B = 8                     # pages per phase-B block (VMEM budget)
+MAX_PB_B = 16                    # pages per phase-B block (VMEM budget):
+                                 # the sweep is bound by per-chunk loop
+                                 # overhead, so wider blocks amortize it
 
 
 def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
                         cbucket: int, pb: int):
     from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(st_ref, cst_ref, lst_ref, dst_ref, chc_ref, chs_ref,
+    def kernel(st_ref, cst_ref, lst_ref, dst_ref, chs_ref,
                lit_ref, out_ref):
-        # chc_ref [pb, 128]: coarse record starts (first start of each
-        # 128-record chunk, padded with a big sorted sentinel);
         # chs_ref [nrecch, pb, 128]: per-record literal-queue starts;
-        # lit_ref [cbucket, pb, 128]: raw literal slot chunks from phase A.
+        # lit_ref [ceil(cbucket/4), pb, 128]: literal slot chunks PACKED
+        #   four bytes per int32 word (little-endian);
+        # out_ref [nch//4, pb, 128]: output bytes, same packing — 4x less
+        #   VMEM and HBM than byte-per-word, at ~4 extra VPU ops per read.
         lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
         ncmd_pad = ncmdch * 128
 
@@ -650,7 +742,8 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
             return jax.lax.fori_loop(kmin, kmax + 1, body,
                                      jnp.zeros((pb, 128), I32))
 
-        def chunk_body(c, c0):
+        def chunk_body(c, carry):
+            c0, lc0 = carry
             base = c * 128
             pos = base + lane
             idx0 = jnp.clip(c0 + lane, 0, ncmd_pad - 1)
@@ -725,48 +818,80 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
             lid = jnp.where(is_lit, src - S, 0)
             byte = jnp.zeros((pb, 128), I32)
 
-            # literal id -> slot chunk via two-level search over the
-            # phase-A chunk records (starts are sorted; empty records
-            # share their start with the next one and lose the
-            # largest-index tie-break, so the covering record wins)
-            rch = jnp.zeros((pb, 128), I32)
-            coarse = chc_ref[:]                       # [pb, 128]
-            for step in (64, 32, 16, 8, 4, 2, 1):
-                probe = jnp.clip(rch + step, 0, 127)
-                v = jnp.take_along_axis(coarse, probe, axis=1)
-                rch = jnp.where((rch + step <= 127) & (v <= lid), probe,
-                                rch)
+            # literal id -> slot record via a windowed binary search over
+            # the sorted record starts (lids only move forward across the
+            # sweep, so a per-page cursor window almost always covers; a
+            # rare retry loop advances it over long literal-less spans).
+            # Empty records share their start with the NEXT one and lose
+            # the largest-index tie-break, so the covering record wins.
+            nrec_pad = nrecch * 128
 
-            def fine_val(off):
-                kmin = jnp.min(rch)
-                kmax = jnp.max(rch)
+            def lit_search(carry):
+                cov, start_of, pend, lc, t = carry
+                on = pend != 0
+                widx0 = jnp.clip(lc + t * 255 + lane, 0, nrec_pad - 1)
+                widx1 = jnp.clip(lc + t * 255 + 128 + lane, 0,
+                                 nrec_pad - 1)
+                rkmin = jnp.min(widx0) >> 7
+                rkmax = jnp.max(widx1) >> 7
 
-                def body(k, acc):
-                    g = jnp.take_along_axis(chs_ref[k], off, axis=1)
-                    return jnp.where(rch == k, g, acc)
+                def rbody(k, acc):
+                    a0, a1 = acc
+                    ch = chs_ref[k]
+                    g0 = jnp.take_along_axis(ch, widx0 & 127, axis=1)
+                    g1 = jnp.take_along_axis(ch, widx1 & 127, axis=1)
+                    return (jnp.where((widx0 >> 7) == k, g0, a0),
+                            jnp.where((widx1 >> 7) == k, g1, a1))
 
-                return jax.lax.fori_loop(kmin, kmax + 1, body,
-                                         jnp.zeros((pb, 128), I32))
+                rw0, rw1 = jax.lax.fori_loop(
+                    rkmin, rkmax + 1, rbody,
+                    (jnp.zeros((pb, 128), I32), jnp.zeros((pb, 128), I32)))
 
-            lo = jnp.zeros((pb, 128), I32)
-            for step in (64, 32, 16, 8, 4, 2, 1):
-                probe = jnp.clip(lo + step, 0, 127)
-                v = fine_val(probe)
-                lo = jnp.where((lo + step <= 127) & (v <= lid), probe, lo)
-            start_of = fine_val(lo)
-            cov = jnp.clip(rch * 128 + lo, 0, cbucket - 1)
+                ll = jnp.zeros((pb, 128), I32)
+                for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                    pr = ll + step
+                    prc = jnp.clip(pr, 0, 255)
+                    v = jnp.where(
+                        prc < 128,
+                        jnp.take_along_axis(rw0, prc & 127, axis=1),
+                        jnp.take_along_axis(rw1, prc & 127, axis=1))
+                    ll = jnp.where((pr <= 255) & (v <= lid), pr, ll)
+                sv = jnp.where(
+                    ll < 128, jnp.take_along_axis(rw0, ll & 127, axis=1),
+                    jnp.take_along_axis(rw1, jnp.clip(ll - 128, 0, 127),
+                                        axis=1))
+                ok = on & (ll < 255)
+                cov = jnp.where(ok, lc + t * 255 + ll, cov)
+                start_of = jnp.where(ok, sv, start_of)
+                return (cov, start_of, jnp.where(ok, 0, pend), lc, t + 1)
+
+            zero = jnp.zeros((pb, 128), I32)
+            cov, start_of, _, _, _ = jax.lax.while_loop(
+                lambda car: jnp.max(car[2]) > 0, lit_search,
+                (zero, zero, is_lit.astype(I32), lc0, jnp.int32(0)))
+            cov = jnp.clip(cov, 0, cbucket - 1)
             off = jnp.clip(lid - start_of, 0, 127)
+            lc0 = jnp.max(jnp.where(is_lit, cov, lc0), axis=1,
+                          keepdims=True)
 
             # gathers iterate over the DISTINCT chunks the lanes actually
             # need (min-of-pending loop), not the [kmin, kmax] span — trip
             # count follows the data's real source spread
+            # slots are packed ACROSS chunks at the same lane: word at
+            # (chunk a, lane l) holds slot chunks 4a..4a+3's byte l
+            cb4 = (cbucket + 3) // 4
+            lwch = cov >> 2
+            llane = off
+            lbyte = (cov & 3) << 3
+
             def lbody(carry):
                 byte, pend = carry           # pend: int32 0/1 mask
                 on = pend != 0
-                k = jnp.min(jnp.where(on, cov, cbucket))
-                g = jnp.take_along_axis(
-                    lit_ref[jnp.clip(k, 0, cbucket - 1)], off, axis=1)
-                hit = on & (cov == k)
+                k = jnp.min(jnp.where(on, lwch, cb4))
+                w_ = jnp.take_along_axis(
+                    lit_ref[jnp.clip(k, 0, cb4 - 1)], llane, axis=1)
+                g = (w_ >> lbyte) & 255
+                hit = on & (lwch == k)
                 return (jnp.where(hit, g, byte),
                         jnp.where(hit, 0, pend))
 
@@ -775,14 +900,19 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
                 (byte, is_lit.astype(I32)))
 
             csel = jnp.where(is_lit, 0, jnp.clip(src, 0, S - 1))
+            nch4 = nch // 4
+            cwch = csel >> 9
+            clane = (csel >> 2) & 127
+            cbyte = (csel & 3) << 3
 
             def cbody(carry):
                 byte, pend = carry
                 on = pend != 0
-                k = jnp.min(jnp.where(on, csel >> 7, nch))
-                g = jnp.take_along_axis(
-                    out_ref[jnp.clip(k, 0, nch - 1)], csel & 127, axis=1)
-                hit = on & ((csel >> 7) == k)
+                k = jnp.min(jnp.where(on, cwch, nch4))
+                w_ = jnp.take_along_axis(
+                    out_ref[jnp.clip(k, 0, nch4 - 1)], clane, axis=1)
+                g = (w_ >> cbyte) & 255
+                hit = on & (cwch == k)
                 return (jnp.where(hit, g, byte),
                         jnp.where(hit, 0, pend))
 
@@ -790,10 +920,29 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
                 lambda c: jnp.max(c[1]) > 0, cbody,
                 (byte, (~is_lit).astype(I32)))
 
-            out_ref[pl.ds(c, 1)] = byte[None]
-            return jnp.max(c0 + rel, axis=1, keepdims=True)
+            # pack the chunk's 128 bytes into 32 words and store them in
+            # quarter (c & 3) of output word-row c >> 2
+            l32 = lane & 31
+            pk = jnp.zeros((pb, 128), I32)
+            for t in range(4):
+                g = jnp.take_along_axis(byte, jnp.clip(4 * l32 + t, 0, 127),
+                                        axis=1)
+                pk = pk | (g << (8 * t))
+            pk = jnp.where(lane < 32, pk, 0)
+            q = c & 3
+            pkq = jnp.where(
+                q == 0, pk,
+                jnp.where(q == 1, pltpu.roll(pk, 32, 1),
+                          jnp.where(q == 2, pltpu.roll(pk, 64, 1),
+                                    pltpu.roll(pk, 96, 1))))
+            row = out_ref[c >> 2]
+            out_ref[pl.ds(c >> 2, 1)] = jnp.where(
+                (lane >> 5) == q, pkq, row)[None]
+            return (jnp.max(c0 + rel, axis=1, keepdims=True), lc0)
 
-        jax.lax.fori_loop(0, nch, chunk_body, jnp.zeros((pb, 1), I32))
+        jax.lax.fori_loop(0, nch, chunk_body,
+                          (jnp.zeros((pb, 1), I32),
+                           jnp.zeros((pb, 1), I32)))
 
     return kernel
 
@@ -823,9 +972,11 @@ def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
 
 
 def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
-                   npd, page_size: int, interpret: bool = False):
-    """Masked command prep + distance resolution (XLA) + the chunk-sweep
-    LZ kernel.
+                   npd, page_size: int, interpret: bool = False,
+                   resolved: bool = False):
+    """Masked command prep + distance resolution (XLA, unless the phase-A
+    kernel already resolved the ring: resolved=True means dcode_a holds
+    absolute distances) + the chunk-sweep LZ kernel.
 
     slots: [CB, P, 128] literal slot chunks (raw phase-A output order);
     recs:  [P, CB] literal-queue start of each slot (sorted per page).
@@ -843,8 +994,11 @@ def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
     valid = cid < ncmds[:, None]
     ins_m = jnp.where(valid, ins_a, 0)
     cpy_m = jnp.where(valid, cpy_a, 0)
-    dist = _resolve_distances(ins_m, cpy_m, dcode_a, dextra_a, ncmds,
-                              npd[:, 0], npd[:, 1], N)
+    if resolved:
+        dist = jnp.where(valid, dcode_a, 0)
+    else:
+        dist = _resolve_distances(ins_m, cpy_m, dcode_a, dextra_a, ncmds,
+                                  npd[:, 0], npd[:, 1], N)
     cov = ins_m + cpy_m
     st = jnp.cumsum(cov, axis=1) - cov
     cst = st + ins_m
@@ -861,9 +1015,16 @@ def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
     lst3 = _to_chunk_major(lst, ncmdch)
     dst3 = _to_chunk_major(dist, ncmdch)
     recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
-    coarse = recs[:, :: 128]
-    coarse = jnp.pad(coarse, ((0, 0), (0, 128 - coarse.shape[1])),
-                     constant_values=1 << 29)
+
+    # pack literal slot bytes four-per-word (kernel's VMEM/HBM layout)
+    cb4 = (cbucket + 3) // 4
+    pad4 = cb4 * 4 - cbucket
+    if pad4:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((pad4,) + slots.shape[1:], slots.dtype)],
+            axis=0)
+    slots4 = (slots[0::4] | (slots[1::4] << 8) | (slots[2::4] << 16)
+              | (slots[3::4] << 24))
 
     kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
 
@@ -876,15 +1037,15 @@ def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
     out = pl.pallas_call(
         kernel,
         grid=(P // pb,),
-        out_shape=jax.ShapeDtypeStruct((nch, P, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nch // 4, P, 128), jnp.int32),
         in_specs=[cm_spec(ncmdch)] * 4
-        + [vspec((pb, 128), lambda i: (i, 0)),
-           cm_spec(nrecch), cm_spec(cbucket)],
-        out_specs=cm_spec(nch),
+        + [cm_spec(nrecch), cm_spec(cb4)],
+        out_specs=cm_spec(nch // 4),
         interpret=interpret,
-    )(st3, cst3, lst3, dst3, coarse, recs3, slots)
-    return out.transpose(1, 0, 2).reshape(P, nch * 128)[:, :S] \
-        .astype(jnp.uint8)
+    )(st3, cst3, lst3, dst3, recs3, slots4)
+    w = out.transpose(1, 0, 2).reshape(P, (nch // 4) * 128)
+    b = jax.lax.bitcast_convert_type(w, jnp.uint8)    # [P, S//4, 4] LE
+    return b.reshape(P, nch * 128)[:, :S]
 
 
 # ---------------------------------------------------------------------------

@@ -115,11 +115,19 @@ def build_search(lengths: jnp.ndarray, max_len: int, table_bits: int):
         table_bits - jnp.arange(max_len + 1, dtype=I32))[None, :]
     offset = jnp.cumsum(counts, axis=1) - counts
 
-    key = jnp.where(lengths > 0,
-                    lengths.astype(I32) * (A + 1)
-                    + jnp.arange(A, dtype=I32)[None, :],
-                    jnp.iinfo(jnp.int32).max)
-    symdict = jnp.argsort(key, axis=1).astype(I32)
+    # canonical (len, symbol) order via counting ranks + one scatter —
+    # avoids an argsort over the alphabet (XLA:TPU sorts are many-pass)
+    rank_same = jnp.zeros((P, A), I32)
+    for l in range(1, max_len + 1):
+        c = jnp.cumsum((lengths == l).astype(I32), axis=1)
+        rank_same = jnp.where(lengths == l, c - 1, rank_same)
+    off_sym = jnp.take_along_axis(
+        offset, jnp.clip(lengths, 0, max_len).astype(I32), axis=1)
+    rank = jnp.where(lengths > 0, off_sym + rank_same, A)
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    sym_ids = jnp.broadcast_to(jnp.arange(A, dtype=I32)[None, :], (P, A))
+    symdict = jnp.zeros((P, A), I32).at[rows, rank].set(
+        sym_ids, mode="drop")
     return dict(first=first, limit=limit, offset=offset, symdict=symdict)
 
 

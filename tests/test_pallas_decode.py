@@ -34,7 +34,7 @@ class TestPallasPhaseA:
     def test_matches_xla_phase_a(self, mixed_batch):
         n, keep, words, sizes = mixed_batch
         mc = max_cmds_for(n)
-        (ncmds_x, litbuf_x, ins_x, cpy_x, dco_x, dex_x,
+        (ncmds_x, litbuf_x, ins_x, cpy_x, dco_x, dex_x, npf_x, ndi_x,
          *_rest) = _stage_symbols(words, sizes, n, mc)
         ncmds_x = np.asarray(ncmds_x)
 
@@ -45,12 +45,26 @@ class TestPallasPhaseA:
 
         P = len(keep)
         R = mc // 32
-        arrs_p = [np.asarray(a) for a in PD.cmds_from_rounds(cmd_t, P, R)]
-        for a_p, a_x in zip(arrs_p, (ins_x, cpy_x, dco_x, dex_x)):
-            a_x = np.asarray(a_x)
-            for p in range(P):
-                k = ncmds_x[p]
-                assert (a_p[p, :k] == a_x[p, :k]).all()
+        # kernel slot 2 holds ring-RESOLVED absolute distances; build the
+        # expected values from the XLA code/extra arrays
+        from brotlig_tpu.ops.decode import _resolve_distances
+        cid = jnp.arange(ins_x.shape[1], dtype=jnp.int32)[None, :]
+        valid = cid < jnp.asarray(ncmds_x)[:, None]
+        ins_m = jnp.where(valid, ins_x, 0)
+        cpy_m = jnp.where(valid, cpy_x, 0)
+        dist_x = np.asarray(_resolve_distances(
+            ins_m, cpy_m, dco_x, dex_x, jnp.asarray(ncmds_x),
+            npf_x, ndi_x, ins_x.shape[1]))
+        cpy_np = np.asarray(cpy_m)
+
+        ins_p, cpy_p, dst_p, _ = [np.asarray(a) for a in
+                                  PD.cmds_from_rounds(cmd_t, P, R)]
+        for p in range(P):
+            k = ncmds_x[p]
+            assert (ins_p[p, :k] == np.asarray(ins_x)[p, :k]).all()
+            assert (cpy_p[p, :k] == np.asarray(cpy_x)[p, :k]).all()
+            sel = cpy_np[p, :k] > 0      # dist only matters on copies
+            assert (dst_p[p, :k][sel] == dist_x[p, :k][sel]).all()
 
         litbuf_p = np.asarray(PD.finish_pallas(
             lit_t, chs, chc, n, chs.shape[0], n + 64))
