@@ -149,7 +149,9 @@ def encode_bench(pages):
 
     n = int(os.environ.get("BENCH_ENC_PAGES", "16"))
     reps = int(os.environ.get("BENCH_ENC_REPS", "2"))
-    sub = pages[:n]
+    # stride across the (size-sorted) corpus for a representative mix
+    stride = max(1, len(pages) // n)
+    sub = pages[::stride][:n]
     arr = np.zeros((len(sub), PAGE_SIZE), dtype=np.uint8)
     for i, p in enumerate(sub):
         arr[i] = np.frombuffer(p, np.uint8)

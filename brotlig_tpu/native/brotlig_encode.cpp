@@ -11,6 +11,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <array>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -423,6 +424,27 @@ void EncodeDistance(uint32_t dist, uint32_t npostfix, uint32_t ndirect,
   sym = 16 + ndirect + (((2 * (nbits - 1) + b) << npostfix) | postfix);
 }
 
+
+// Ring short code for a distance, or UINT32_MAX. Codes 0-3 are exact ring
+// hits; 4-15 are ring[0]/ring[1] +/- {1,2,3} (decode mapping
+// PageDecoder.cpp:345-404): code 4+2k = ring[0]-(k+1), 5+2k = ring[0]+(k+1)
+// for k<3, and 10..15 likewise against ring[1]. All cost zero extra bits.
+static inline uint32_t RingShortCode(uint32_t dist, const uint32_t* ring) {
+  if (dist == ring[0]) return 0;
+  if (dist == ring[1]) return 1;
+  if (dist == ring[2]) return 2;
+  if (dist == ring[3]) return 3;
+  for (uint32_t depth = 0; depth < 2; ++depth) {
+    uint32_t base = ring[depth];
+    for (uint32_t mag = 1; mag <= 3; ++mag) {
+      uint32_t code = 4 + 6 * depth + 2 * (mag - 1);
+      if (base >= mag && dist == base - mag) return code;      // even: -mag
+      if (dist == base + mag) return code + 1;                 // odd: +mag
+    }
+  }
+  return UINT32_MAX;
+}
+
 // Serialize one page from raw (ins,cpy,dist) commands covering a prefix of
 // the page; the uncovered tail becomes the insert-only command. Returns an
 // empty vector if the page should be stored raw.
@@ -465,12 +487,12 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
       else if (c.dist == ring[1]) sym = 1;
       else if (c.dist == ring[2]) sym = 2;
       else if (c.dist == ring[3]) sym = 3;
-      if (sym == UINT32_MAX || sym > 0) {
-        if (sym == UINT32_MAX) dists.push_back(c.dist);
-        if (sym != 0) {
-          ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
-          ring[0] = c.dist;
-        }
+      // offset hits (codes 4-15) stay in the search set: whether they
+      // become short codes is decided after (np, nd) is fixed
+      if (sym == UINT32_MAX) dists.push_back(c.dist);
+      if (sym != 0) {
+        ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
+        ring[0] = c.dist;
       }
     }
     double best_cost = 1e99;
@@ -504,15 +526,48 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
     }
   }
 
-  // distance codes with ring semantics
+  // distance codes with ring semantics. Two candidate modes per page:
+  // exact ring hits only (codes 0-3), or also the +/-{1,2,3} offset codes
+  // 4-15 (zero extra bits but a wider histogram); the cheaper one by
+  // exact Huffman cost wins (the reference gets this choice implicitly
+  // from brotli's cost-model-driven distance cache, PageEncoder.cpp:87-147).
+  uint64_t mode_cost[2];
+  for (int mode = 0; mode < 2; ++mode) {
+    uint32_t ring[4] = {4, 11, 15, 16};
+    std::vector<uint32_t> hd_m(kDistAlphabet, 0);
+    uint64_t extras = 0;
+    for (auto& c : cmds) {
+      if (!c.cpy) continue;
+      uint32_t nbits = 0, extra = 0;
+      uint32_t sym = RingShortCode(c.dist, ring);
+      if (mode == 0 && sym != UINT32_MAX && sym > 3) sym = UINT32_MAX;
+      if (sym == UINT32_MAX) {
+        EncodeDistance(c.dist, npostfix, ndirect, sym, nbits, extra);
+        extras += nbits;
+      }
+      uint32_t ic = GetInsertCode(c.ins), cc = GetCopyCode(c.cpy);
+      if (!(sym == 0 && ic < 8 && cc < 16)) hd_m[sym]++;
+      if (sym > 0) {
+        ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
+        ring[0] = c.dist;
+      }
+    }
+    std::vector<uint8_t> dl(kDistAlphabet);
+    PackageMerge(hd_m.data(), kDistAlphabet, 15, dl.data());
+    uint64_t bits = extras;
+    for (uint32_t i = 0; i < kDistAlphabet; ++i)
+      bits += static_cast<uint64_t>(hd_m[i]) * dl[i];
+    mode_cost[mode] = bits;
+  }
+  bool use_offsets = mode_cost[1] < mode_cost[0];
+
   uint32_t ring[4] = {4, 11, 15, 16};
   for (auto& c : cmds) {
-    uint32_t sym = UINT32_MAX, nbits = 0, extra = 0;
-    if (c.dist == ring[0]) sym = 0;
-    else if (c.dist == ring[1]) sym = 1;
-    else if (c.dist == ring[2]) sym = 2;
-    else if (c.dist == ring[3]) sym = 3;
-    else EncodeDistance(c.dist, npostfix, ndirect, sym, nbits, extra);
+    uint32_t nbits = 0, extra = 0;
+    uint32_t sym = RingShortCode(c.dist, ring);
+    if (!use_offsets && sym != UINT32_MAX && sym > 3) sym = UINT32_MAX;
+    if (sym == UINT32_MAX)
+      EncodeDistance(c.dist, npostfix, ndirect, sym, nbits, extra);
     uint32_t ic = GetInsertCode(c.ins), cc = GetCopyCode(c.cpy);
     bool use_last = (sym == 0 && ic < 8 && cc < 16);
     c.prefix = CombineLengthCodes(ic, cc, use_last);
@@ -638,13 +693,23 @@ void CostsFromCommands(const uint8_t* d, uint32_t n,
   std::vector<uint32_t> hd(kDistAlphabet, 0);
   uint64_t nl = tail, ndist = 0;
   uint32_t pos = 0;
+  uint32_t ring[4] = {4, 11, 15, 16};
   for (auto& c : cmds) {
     for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
     nl += c.ins;
     pos += c.ins + c.cpy;
-    uint32_t sym, nb, ex;
-    EncodeDistance(c.dist, 0, 0, sym, nb, ex);
+    if (!c.cpy) continue;
+    // ring-aware stats so the DP sees short-code savings
+    uint32_t sym = RingShortCode(c.dist, ring);
+    if (sym == UINT32_MAX) {
+      uint32_t nb, ex;
+      EncodeDistance(c.dist, 0, 0, sym, nb, ex);
+    }
     if (sym < kDistAlphabet) { hd[sym]++; ++ndist; }
+    if (sym != 0) {
+      ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
+      ring[0] = c.dist;
+    }
   }
   for (uint32_t i = tail ? n - tail : n; i < n; ++i) hl[d[i]]++;
   double tl = std::max<double>(nl, 1);
@@ -663,8 +728,8 @@ void CostsFromCommands(const uint8_t* d, uint32_t n,
 
 void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
                       const double* litcost, const double* distcost,
-                      double cmd_base_cost, std::vector<Cmd>& out_cmds,
-                      uint32_t& out_tail) {
+                      double cmd_base_cost, bool ring_aware,
+                      std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
   const double lit_step_extra = 0.25;
 
   // hash chains for pass 2
@@ -688,18 +753,39 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
   const double kInf = 1e30;
   std::vector<double> dp(n + 1, kInf);
   std::vector<uint32_t> from_len(n + 1, 0), from_dist(n + 1, 0);
+  // approximate distance-cache state per node: the ring inherited from
+  // the chosen predecessor (the reference gets this from brotli's Zopfli
+  // node state; one ring per node is the standard approximation)
+  std::vector<std::array<uint32_t, 4>> ringst(n + 1,
+                                              {4u, 11u, 15u, 16u});
   dp[0] = 0;
   for (uint32_t i = 0; i < n; ++i) {
     // literal step
     double lc = dp[i] + litcost[d[i]] + lit_step_extra;
-    if (lc < dp[i + 1]) { dp[i + 1] = lc; from_len[i + 1] = 0; }
+    if (lc < dp[i + 1]) {
+      dp[i + 1] = lc;
+      from_len[i + 1] = 0;
+      ringst[i + 1] = ringst[i];
+    }
     uint32_t skip_to = 0;  // set by the long-match cutoff
     if (i + 4 <= n) {
       auto relax = [&](uint32_t dist, uint32_t maxlen) {
         if (!dist || maxlen < 4) return;
-        uint32_t sym, nb, ex;
-        EncodeDistance(dist, 0, 0, sym, nb, ex);
-        double dc = (sym < kDistAlphabet ? distcost[sym] : 20.0) + nb;
+        uint32_t rsym = ring_aware
+                            ? RingShortCode(dist, ringst[i].data())
+                            : UINT32_MAX;
+        double dc;
+        if (rsym != UINT32_MAX) {
+          dc = distcost[rsym];
+        } else {
+          uint32_t sym, nb, ex;
+          EncodeDistance(dist, 0, 0, sym, nb, ex);
+          dc = (sym < kDistAlphabet ? distcost[sym] : 20.0) + nb;
+        }
+        std::array<uint32_t, 4> rnew = ringst[i];
+        if (rsym != 0) {
+          rnew = {dist, ringst[i][0], ringst[i][1], ringst[i][2]};
+        }
         // try the full length and the base length of each copy code bucket
         uint32_t lens[28];
         int nl2 = 0;
@@ -714,6 +800,7 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
             dp[i + L] = cost;
             from_len[i + L] = L;
             from_dist[i + L] = dist;
+            ringst[i + L] = rnew;
           }
         }
       };
@@ -793,18 +880,20 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
 }
 
 void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
-                  std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
-  // pass 0: greedy statistics; then iterate the cost model twice, like
-  // the reference's Zopfli iterations (SURVEY §2.11)
+                  bool ring_aware, std::vector<Cmd>& out_cmds,
+                  uint32_t& out_tail) {
+  // pass 0: greedy statistics; then iterate the cost model, like the
+  // reference's Zopfli iterations (SURVEY §2.11)
   std::vector<Cmd> cur;
   uint32_t cur_tail = 0;
   FindMatches(d, n, max_chain, cur, cur_tail);
   double litcost[256], distcost[kDistAlphabet], cmd_base = 8.0;
-  for (int it = 0; it < 1; ++it) {
+  int iters = ring_aware ? 2 : 1;
+  for (int it = 0; it < iters; ++it) {
     CostsFromCommands(d, n, cur, cur_tail, litcost, distcost, &cmd_base);
     cur.clear();
-    ParseOptimalPass(d, n, max_chain, litcost, distcost, cmd_base, cur,
-                     cur_tail);
+    ParseOptimalPass(d, n, max_chain, litcost, distcost, cmd_base,
+                     ring_aware, cur, cur_tail);
   }
   out_cmds = std::move(cur);
   out_tail = cur_tail;
@@ -818,17 +907,20 @@ std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
   std::vector<uint8_t> greedy =
       EncodePageFromCommands(data, n, is_last, cmds, tail);
   if (quality < 10 || n < 64) return greedy;
-  // q11: also run the cost-model optimal parse and keep the smaller page
-  // (the DP cost model does not see ring-distance savings, so neither
-  // parse dominates on all data)
-  std::vector<Cmd> ocmds;
-  uint32_t otail = 0;
-  ParseOptimal(data, n, max_chain, ocmds, otail);
-  std::vector<uint8_t> opt =
-      EncodePageFromCommands(data, n, is_last, ocmds, otail);
-  if (opt.empty()) return greedy;
-  if (greedy.empty()) return opt;
-  return opt.size() < greedy.size() ? opt : greedy;
+  // q11: cost-model optimal parses with and without ring-aware distance
+  // costs (the ring approximation wins on data with repeated strides and
+  // loses on some text; neither dominates), keep the smallest page
+  std::vector<uint8_t> best = greedy;
+  for (int ra = 0; ra < 2; ++ra) {
+    std::vector<Cmd> ocmds;
+    uint32_t otail = 0;
+    ParseOptimal(data, n, max_chain, ra != 0, ocmds, otail);
+    std::vector<uint8_t> opt =
+        EncodePageFromCommands(data, n, is_last, ocmds, otail);
+    if (!opt.empty() && (best.empty() || opt.size() < best.size()))
+      best = std::move(opt);
+  }
+  return best;
 }
 
 }  // namespace

@@ -14,7 +14,8 @@ import numpy as np
 
 from ..format import constants as C
 from ..format import lut
-from ..format.huffman import build_and_store_table
+from ..format.huffman import build_and_store_table, \
+    package_merge_lengths
 from ..format.swizzle import Swizzler
 
 
@@ -110,25 +111,66 @@ def find_matches(data: bytes, max_chain: int = 64, min_len: int = 4):
 # Distance code assignment
 # ---------------------------------------------------------------------------
 
+def _ring_short_code(d: int, ring, offsets: bool):
+    """Short code 0-15 for distance d against the ring, or None.
+
+    Codes 0-3 are exact hits; with `offsets`, codes 4-15 encode
+    ring[0]/ring[1] +/- {1,2,3} (decode mapping PageDecoder.cpp:345-404),
+    all with zero extra bits."""
+    for i in range(4):
+        if d == ring[i]:
+            return i
+    if offsets:
+        for depth in range(2):
+            for mag in (1, 2, 3):
+                code = 4 + 6 * depth + 2 * (mag - 1)
+                if d == ring[depth] - mag:
+                    return code
+                if d == ring[depth] + mag:
+                    return code + 1
+    return None
+
+
+def _dist_mode_cost(raw_cmds, npostfix: int, ndirect: int,
+                    offsets: bool) -> int:
+    """Exact Huffman bit cost of the distance plane for one short-code
+    mode (matches the native encoder's per-page mode choice)."""
+    ring = list(C.DISTANCE_RING_INIT)
+    hist = np.zeros(C.NUM_DISTANCE_SYMBOLS, dtype=np.int64)
+    extras = 0
+    for ins, cpy, d in raw_cmds:
+        if not cpy:
+            continue
+        sym = _ring_short_code(d, ring, offsets)
+        if sym is None:
+            sym, nbits, _extra = lut.encode_distance(d, npostfix, ndirect)
+            extras += nbits
+        inscode = lut.get_insert_length_code(ins)
+        copycode = lut.get_copy_length_code(cpy)
+        if not (sym == 0 and inscode < 8 and copycode < 16):
+            hist[sym] += 1
+        if sym > 0:
+            ring = [d, ring[0], ring[1], ring[2]]
+    lens = package_merge_lengths(hist)
+    return int((hist * lens).sum()) + extras
+
+
 def assign_codes(raw_cmds, tail: int, npostfix: int, ndirect: int):
     """Resolve command prefixes and distance symbols with ring semantics.
 
     The ring updates exactly as the decoder's TranslateDistance
-    (PageDecoder.cpp:397-403): any distance symbol > 0 pushes.
+    (PageDecoder.cpp:397-403): any distance symbol > 0 pushes. Ring
+    offset codes 4-15 are used when they beat exact-hits-only by true
+    Huffman cost (same per-page mode choice as the native encoder).
     """
+    offsets = (_dist_mode_cost(raw_cmds, npostfix, ndirect, True)
+               < _dist_mode_cost(raw_cmds, npostfix, ndirect, False))
     ring = list(C.DISTANCE_RING_INIT)
     out = []
     for ins, cpy, d in raw_cmds:
         cmd = Command(ins, cpy, d)
-        if d == ring[0]:
-            sym = 0
-        elif d == ring[1]:
-            sym = 1
-        elif d == ring[2]:
-            sym = 2
-        elif d == ring[3]:
-            sym = 3
-        else:
+        sym = _ring_short_code(d, ring, offsets)
+        if sym is None:
             sym, nbits, extra = lut.encode_distance(d, npostfix, ndirect)
             cmd.dist_extra_bits, cmd.dist_extra_val = nbits, extra
         inscode = lut.get_insert_length_code(ins)
