@@ -1,0 +1,110 @@
+"""Multi-process decode scaling (BASELINE config 5 measurement).
+
+Runs the same archive workload with 1 and 2 worker processes (CPU
+backend, each pinned to a disjoint pair of cores so per-process compute
+is constant) and reports wall time + scaling efficiency
+T1 / (nproc * Tn). The 2-process run uses jax.distributed and finishes
+with the real `decode_archives_gather` ordered all-gather, so the
+measured time includes the cross-process assembly.
+
+Usage: python tools/bench_multihost.py [n_archives] [archive_kb]
+"""
+import os
+import pickle
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORKER = r'''
+import pickle, sys, time
+import jax
+coord, nproc, pid, path = (sys.argv[1], int(sys.argv[2]),
+                           int(sys.argv[3]), sys.argv[4])
+if nproc > 1:
+    jax.distributed.initialize(coord, num_processes=nproc, process_id=pid)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("warmup")
+sys.path.insert(0, {repo!r})
+from brotlig_tpu.utils import jaxcache
+jaxcache.enable()
+from brotlig_tpu.parallel.runtime import decode_archives_gather
+blobs = pickle.loads(open(path, "rb").read())
+proc = None if nproc > 1 else (0, 1)
+# warmup pass compiles every program; the timed pass measures decode
+decode_archives_gather(blobs, batch_pages=8, process=proc)
+from brotlig_tpu.parallel.runtime import decode_archives
+if nproc > 1:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("timed-start")
+t0 = time.perf_counter()
+local = decode_archives(blobs, batch_pages=8, process=proc)
+t_dec = time.perf_counter() - t0
+if nproc > 1:
+    multihost_utils.sync_global_devices("gather-start")
+t0 = time.perf_counter()
+outs = decode_archives_gather(blobs, batch_pages=8, process=proc)
+dt = time.perf_counter() - t0
+print(f"WORKER {{pid}} time {{dt:.3f}}s decode {{t_dec:.3f}}s "
+      f"n={{len(outs)}}", flush=True)
+'''
+
+
+def run(nproc: int, blob_path: str, n_arch: int) -> float:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(WORKER.format(repo=REPO))
+        wpath = f.name
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    t0 = time.perf_counter()
+    for pid in range(nproc):
+        cores = f"{2*pid},{2*pid+1}"
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable, wpath,
+             f"127.0.0.1:{port}", str(nproc), str(pid), blob_path],
+            env=env, stdout=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    wall = time.perf_counter() - t0
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    tt = [float(line.split("time ")[1].split("s")[0])
+          for o in outs for line in o.splitlines() if "WORKER" in line]
+    td = [float(line.split("decode ")[1].split("s")[0])
+          for o in outs for line in o.splitlines() if "WORKER" in line]
+    return max(tt), max(td)
+
+
+def main():
+    n_arch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    kb = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_roundtrip import make_data
+    from brotlig_tpu import native
+    datas = [make_data("text", kb * 1024, seed=100 + i)
+             for i in range(n_arch)]
+    blobs = [native.encode(d, page_size=32768) for d in datas]
+    total = sum(len(d) for d in datas)
+    with tempfile.NamedTemporaryFile("wb", suffix=".pkl",
+                                     delete=False) as f:
+        pickle.dump(blobs, f)
+        path = f.name
+    t1, t1d = run(1, path, n_arch)
+    t2, t2d = run(2, path, n_arch)
+    print(f"archives={n_arch} x {kb}KiB total={total/1e6:.1f}MB")
+    print(f"1-proc: decode {t1d:.2f}s, decode+gather {t1:.2f}s")
+    print(f"2-proc: decode {t2d:.2f}s, decode+gather {t2:.2f}s")
+    print(f"scaling efficiency: decode-only {t1d/(2*t2d):.3f}, "
+          f"with ordered gather {t1/(2*t2):.3f}")
+
+
+if __name__ == "__main__":
+    main()
