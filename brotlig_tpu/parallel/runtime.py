@@ -60,6 +60,40 @@ def decode_archives(blobs: Sequence[bytes],
     return out
 
 
+def decode_archives_gather(blobs: Sequence[bytes],
+                           batch_pages: int = 256,
+                           process=None) -> list[bytes]:
+    """Decode the local share, then all-gather so EVERY process holds all
+    outputs in archive order.
+
+    The cross-host step is one `multihost_utils.process_allgather` over a
+    [n_archives, max_out] uint8 plane: processes own disjoint rows (the
+    static interleave), so OR-reducing the gathered copies assembles the
+    ordered result — the multi-host analog of the reference's shared
+    output buffer + atomic work queue (BrotligDecoder.cpp:296-329).
+    Requires jax.distributed to be initialized (or nprocs == 1, where it
+    degrades to a local decode)."""
+    from ..format.headers import StreamHeader
+
+    local = decode_archives(blobs, batch_pages, process)
+    pid, nproc = process if process is not None else process_info()
+    out_sizes = [StreamHeader.unpack(b).uncompressed_size for b in blobs]
+    if nproc == 1:
+        return [local[i] for i in range(len(blobs))]
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    n = len(blobs)
+    maxlen = max(out_sizes) if out_sizes else 0
+    buf = np.zeros((n, max(maxlen, 1)), np.uint8)
+    for i, data in local.items():
+        buf[i, : len(data)] = np.frombuffer(data, np.uint8)
+    g = multihost_utils.process_allgather(jnp.asarray(buf))
+    full = np.bitwise_or.reduce(np.asarray(g), axis=0)
+    return [full[i, : out_sizes[i]].tobytes() for i in range(n)]
+
+
 def decode_archives_batched(blobs: Sequence[bytes],
                             batch_pages: int = 256) -> list[bytes]:
     """Decode MANY containers in shared device batches.

@@ -146,3 +146,54 @@ open({str(tmp_path)!r} + f"/out_{{pid}}.pkl", "wb").write(
         assert sorted(merged) == list(range(5))
         for i, d in enumerate(datas):
             assert merged[i] == d
+
+    def test_two_process_allgather_decode(self, tmp_path):
+        """jax.distributed 2-process run: decode_archives_gather's
+        process_allgather hands EVERY process the full ordered output
+        (the cross-host gather BASELINE config 5 requires)."""
+        import pickle
+        import socket
+        import subprocess
+        import sys as _sys
+        import os as _os
+        from brotlig_tpu import native
+        # identical sizes keep the workers' compile/decode times aligned
+        # (the gloo key exchange only waits ~30s for the peer)
+        datas = [make_data("text", 30_000, seed=90 + i) for i in range(5)]
+        blobs = [native.encode(d, page_size=32768) for d in datas]
+        (tmp_path / "blobs.pkl").write_bytes(pickle.dumps(blobs))
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        repo = C.__file__.rsplit('/brotlig_tpu/', 1)[0]
+        worker = tmp_path / "worker_ag.py"
+        worker.write_text(f"""
+import pickle, sys
+import jax
+jax.distributed.initialize("127.0.0.1:{port}", num_processes=2,
+                           process_id=int(sys.argv[1]))
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")  # build the gloo context
+sys.path.insert(0, {repo!r})
+from brotlig_tpu.utils import jaxcache
+jaxcache.enable()
+from brotlig_tpu.parallel.runtime import decode_archives_gather
+pid = int(sys.argv[1])
+blobs = pickle.loads(open({str(tmp_path / 'blobs.pkl')!r}, 'rb').read())
+outs = decode_archives_gather(blobs, batch_pages=2)
+open({str(tmp_path)!r} + f"/ag_{{pid}}.pkl", "wb").write(
+    pickle.dumps(outs))
+""")
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = repo           # no axon site: pure-CPU workers
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i)],
+                                  env=env)
+                 for i in range(2)]
+        for p in procs:
+            assert p.wait(timeout=500) == 0
+        for pid in range(2):
+            outs = pickle.loads((tmp_path / f"ag_{pid}.pkl").read_bytes())
+            assert len(outs) == len(datas)
+            for i, d in enumerate(datas):
+                assert outs[i] == d, f"proc {pid} archive {i}"
