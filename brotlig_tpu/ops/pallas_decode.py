@@ -85,6 +85,7 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
     R = max_cmds // NBS          # worst-case command rounds
     lit_cap = page_size + 64
     maxc1 = max_chunks - 1
+    maxc4 = (max_chunks + 3) // 4
 
     def kernel(buf_ref, bp0_ref, npd_ref,
                icp_lim, icp_first, icp_off, icp_triv, icp_dict,
@@ -195,7 +196,7 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             return sym, length
 
         # ---- literal chunk: 4 chained batches of 32 literals ----
-        def lit_chunk(lbase, bp, cidx, qtail, rlit):
+        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
             w = fetch6(bp)
             sh = bcast_slots(bp & 31)
             delta = jnp.zeros((pb, 128), I32)
@@ -215,29 +216,39 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             bp = bp + jnp.where(lane < NBS, delta, 0)
 
             cw = jnp.minimum(cidx, maxc1)
-            slot = cidx & 1
-            @pl.when(cidx >= 2)
+            # pack 4 slot chunks per int32 word (byte q = chunk 4a+q at
+            # the same lane); DMA one packed row per 4 chunks
+            q = cidx & 3
+            pk = jnp.where(q == 0, block, pk | (block << (q * 8)))
+
+            @pl.when(q == 3)
             def _():
+                d = cidx >> 2
+                slot = d & 1
+
+                @pl.when(d >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        stage_lit.at[slot],
+                        lit_out.at[pl.ds(jnp.minimum(d - 2, maxc4 - 1)
+                                         * (nblk * pb) + blk * pb, pb), :],
+                        sem_lit.at[slot]).wait()
+                stage_lit[slot] = pk
                 pltpu.make_async_copy(
                     stage_lit.at[slot],
-                    lit_out.at[pl.ds(jnp.minimum(cidx - 2, maxc1) * (nblk * pb)
-                                     + blk * pb, pb), :],
-                    sem_lit.at[slot]).wait()
-            stage_lit[slot] = block
-            pltpu.make_async_copy(
-                stage_lit.at[slot],
-                lit_out.at[pl.ds(cw * (nblk * pb) + blk * pb, pb), :],
-                sem_lit.at[slot]).start()
+                    lit_out.at[pl.ds(jnp.minimum(d, maxc4 - 1)
+                                     * (nblk * pb) + blk * pb, pb), :],
+                    sem_lit.at[slot]).start()
 
             start = qtail + jnp.minimum(lbase, rlit)
             count = jnp.clip(rlit - lbase, 0, CHUNK_W)
             rec_out[pl.ds(cw, 1), :] = col_to_row((start << 8) | count)
-            return bp, cidx + 1
+            return bp, cidx + 1, pk
 
         # ---- command round ----
         def round_body(carry):
             (r, cidx, bp, done, ncmds, prev_tail, qtail,
-             rin0, rin1, rin2, rin3) = carry
+             rin0, rin1, rin2, rin3, pk) = carry
             active = (done == 0)                       # [pb, 1]
 
             w = fetch6(bp)
@@ -408,24 +419,25 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             prev_tail = jnp.where(active, rlit + prev_tail - litcount,
                                   prev_tail)
 
-            bp, cidx = lit_chunk(jnp.int32(0), bp, cidx, qtail, rlit)
+            bp, cidx, pk = lit_chunk(jnp.int32(0), bp, cidx, qtail, rlit,
+                                     pk)
 
             def lit_cond(c):
-                lbase, _, _ = c
+                lbase, *_ = c
                 return lbase < jnp.max(rlit)
 
             def lit_body(c):
-                lbase, bp, cidx = c
-                bp, cidx = lit_chunk(lbase, bp, cidx, qtail, rlit)
-                return lbase + CHUNK_W, bp, cidx
+                lbase, bp, cidx, pk = c
+                bp, cidx, pk = lit_chunk(lbase, bp, cidx, qtail, rlit, pk)
+                return lbase + CHUNK_W, bp, cidx, pk
 
-            _, bp, cidx = jax.lax.while_loop(
-                lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx))
+            _, bp, cidx, pk = jax.lax.while_loop(
+                lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx, pk))
             qtail = qtail + rlit
 
             done = jnp.where(active & (k < NBS), 1, done)
             return (r + 1, cidx, bp, done, ncmds, prev_tail, qtail,
-                    rin0_n, rin1_n, rin2_n, rin3_n)
+                    rin0_n, rin1_n, rin2_n, rin3_n, pk)
 
         def round_cond(carry):
             r, _, _, done, *_ = carry
@@ -435,11 +447,33 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                 jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
                 jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
                 jnp.full((pb, 1), 4, I32), jnp.full((pb, 1), 11, I32),
-                jnp.full((pb, 1), 15, I32), jnp.full((pb, 1), 16, I32))
-        (r_f, cidx_f, _, _, ncmds, *_rest) = jax.lax.while_loop(
-            round_cond, round_body, init)
+                jnp.full((pb, 1), 15, I32), jnp.full((pb, 1), 16, I32),
+                jnp.zeros((pb, 128), I32))
+        (r_f, cidx_f, _, _, ncmds, _pt, _qt, _r0, _r1, _r2, _r3,
+         pk_f) = jax.lax.while_loop(round_cond, round_body, init)
 
-        # drain outstanding DMAs
+        # flush a partial packed literal row, then drain outstanding DMAs
+        nd0 = cidx_f >> 2                  # full packed rows DMA'd so far
+
+        @pl.when((cidx_f & 3) != 0)
+        def _():
+            slot = nd0 & 1
+
+            @pl.when(nd0 >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage_lit.at[slot],
+                    lit_out.at[pl.ds(jnp.minimum(nd0 - 2, maxc4 - 1)
+                                     * (nblk * pb) + blk * pb, pb), :],
+                    sem_lit.at[slot]).wait()
+            stage_lit[slot] = pk_f
+            pltpu.make_async_copy(
+                stage_lit.at[slot],
+                lit_out.at[pl.ds(jnp.minimum(nd0, maxc4 - 1)
+                                 * (nblk * pb) + blk * pb, pb), :],
+                sem_lit.at[slot]).start()
+
+        ndma = (cidx_f + 3) >> 2
         for back in (2, 1):
             @pl.when(r_f >= back)
             def _(back=back):
@@ -449,12 +483,12 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                     cmd_out.at[pl.ds((r_f - back) * (nblk * pb) + blk * pb,
                                      pb), :],
                     sem_cmd.at[sl]).wait()
-            @pl.when(cidx_f >= back)
+            @pl.when(ndma >= back)
             def _(back=back):
-                sl = (cidx_f - back) & 1
+                sl = (ndma - back) & 1
                 pltpu.make_async_copy(
                     stage_lit.at[sl],
-                    lit_out.at[pl.ds(jnp.minimum(cidx_f - back, maxc1)
+                    lit_out.at[pl.ds(jnp.minimum(ndma - back, maxc4 - 1)
                                      * (nblk * pb) + blk * pb, pb), :],
                     sem_lit.at[sl]).wait()
 
@@ -575,7 +609,8 @@ def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
     nblk = P // pb
     out_shape = (
         jax.ShapeDtypeStruct((R * P, 128), jnp.int32),     # packed cmds
-        jax.ShapeDtypeStruct((max_chunks * P, CHUNK_W), jnp.int32),
+        jax.ShapeDtypeStruct((((max_chunks + 3) // 4) * P, CHUNK_W),
+                             jnp.int32),   # packed literal rows
         jax.ShapeDtypeStruct((max_chunks, nblk * 128), jnp.int32),  # records
         jax.ShapeDtypeStruct((P, 1), jnp.int32),           # ncmds
         jax.ShapeDtypeStruct((P, 2), jnp.int32),           # stats
@@ -617,7 +652,19 @@ def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def finish_pallas(lit_t, chs, chc, page_size: int, cbucket: int,
                   lit_cap: int):
-    return _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
+    P = chs.shape[1]
+    return _compact_literals(_unpack_slot_rows(lit_t, P), chs, chc,
+                             page_size, cbucket, lit_cap)
+
+
+def _unpack_slot_rows(lit_t, P: int):
+    """Packed kernel rows [maxc4*P, 128] (row = word-chunk major, then
+    page) -> unpacked [4*maxc4*P, 128] byte rows in slot-chunk-major
+    order (the layout _compact_literals expects)."""
+    W = lit_t.shape[1]
+    x = lit_t.reshape(-1, P, W)
+    parts = [(x >> (8 * q)) & 255 for q in range(4)]
+    return jnp.stack(parts, axis=1).reshape(-1, W)
 
 
 def _compact_literals(lit_t, chs, chc, page_size: int, cbucket: int,
@@ -669,21 +716,23 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     phase-B chunk-sweep kernel, all in one compiled program."""
     P = ncmds.shape[0]
     ins_a, cpy_a, dist_a, _ = _cmds_split(cmd_t, P, rbucket)
-    if cbucket <= 1024:
-        # feed phase B the raw slot chunks + records: no compaction pass
-        slots = lit_t[: cbucket * P].reshape(cbucket, P, CHUNK_W)
+    if cbucket <= 2048:
+        # phase A already emitted the slots packed 4-bytes-per-word:
+        # hand the rows straight to phase B, no repacking pass
+        cb4 = (cbucket + 3) // 4
+        slots4 = lit_t[: cb4 * P].reshape(cb4, P, CHUNK_W)
         recs = chs[:cbucket].T
-        return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dist_a,
-                              None, npd, page_size, interpret,
+        return _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a,
+                              dist_a, None, npd, page_size, interpret,
                               resolved=True)
     # pathological chunk counts: compact first (bounds phase-B VMEM)
     lit_cap = page_size + 64
     litbuf = _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
     lch = (litbuf.shape[1] + 127) // 128
-    slots = _to_chunk_major(litbuf.astype(I32), lch)
+    slots4 = _pack_slots(_to_chunk_major(litbuf.astype(I32), lch))
     recs = jnp.broadcast_to(
         (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
-    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dist_a,
+    return _phase_b_sweep(ncmds, slots4, lch, recs, ins_a, cpy_a, dist_a,
                           None, npd, page_size, interpret, resolved=True)
 
 
@@ -964,15 +1013,28 @@ def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
     records (slot j starts at literal 128j)."""
     P = litbuf.shape[0]
     lch = (litbuf.shape[1] + 127) // 128
-    slots = _to_chunk_major(litbuf.astype(I32), lch)
+    slots4 = _pack_slots(_to_chunk_major(litbuf.astype(I32), lch))
     recs = jnp.broadcast_to(
         (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
-    return _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a,
+    return _phase_b_sweep(ncmds, slots4, lch, recs, ins_a, cpy_a, dcode_a,
                           dextra_a, npd, page_size, interpret)
 
 
-def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
-                   npd, page_size: int, interpret: bool = False,
+def _pack_slots(slots):
+    """[CB, P, 128] byte slots -> [ceil(CB/4), P, 128] packed words
+    (byte q of a word = slot chunk 4a+q at the same lane)."""
+    cb = slots.shape[0]
+    pad4 = -cb % 4
+    if pad4:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((pad4,) + slots.shape[1:], slots.dtype)],
+            axis=0)
+    return (slots[0::4] | (slots[1::4] << 8) | (slots[2::4] << 16)
+            | (slots[3::4] << 24))
+
+
+def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
+                   dextra_a, npd, page_size: int, interpret: bool = False,
                    resolved: bool = False):
     """Masked command prep + distance resolution (XLA, unless the phase-A
     kernel already resolved the ring: resolved=True means dcode_a holds
@@ -1008,23 +1070,13 @@ def _phase_b_sweep(ncmds, slots, recs, ins_a, cpy_a, dcode_a, dextra_a,
 
     ncmdch = (N + 127) // 128
     nch = S // 128
-    cbucket = slots.shape[0]
+    cb4 = slots4.shape[0]
     nrecch = (cbucket + 127) // 128
     st3 = _to_chunk_major(st, ncmdch, pad_val=1 << 29)
     cst3 = _to_chunk_major(cst, ncmdch)
     lst3 = _to_chunk_major(lst, ncmdch)
     dst3 = _to_chunk_major(dist, ncmdch)
     recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
-
-    # pack literal slot bytes four-per-word (kernel's VMEM/HBM layout)
-    cb4 = (cbucket + 3) // 4
-    pad4 = cb4 * 4 - cbucket
-    if pad4:
-        slots = jnp.concatenate(
-            [slots, jnp.zeros((pad4,) + slots.shape[1:], slots.dtype)],
-            axis=0)
-    slots4 = (slots[0::4] | (slots[1::4] << 8) | (slots[2::4] << 16)
-              | (slots[3::4] << 24))
 
     kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
 
