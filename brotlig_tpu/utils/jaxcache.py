@@ -3,13 +3,41 @@
 Compiles over the tunneled TPU on this box take minutes; caching them on
 disk makes every process after the first start instantly. Safe no-op if the
 backend rejects the cache.
+
+The cache directory is namespaced by the resolved jax platform config and
+the CPU model: XLA's cache key does NOT include the target machine
+configuration, and sessions with the tunneled-TPU plugin loaded write CPU
+executables generated with different codegen flags (+prefer-no-scatter /
++prefer-no-gather). A plain-CPU process loading those entries gets XLA's
+"machine type doesn't match … SIGILL" warning and deoptimized code that
+runs orders of magnitude slower, so the two worlds must not share a dir.
 """
 import os
+
+
+def _tag() -> str:
+    import hashlib
+    bits = []
+    try:
+        import jax
+        bits.append(str(jax.config.jax_platforms))
+    except Exception:
+        bits.append(os.environ.get("JAX_PLATFORMS", ""))
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
 
 
 def enable(path: str = "/root/.cache/jax_brotlig") -> None:
     try:
         import jax
+        path = f"{path}_{_tag()}"
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
