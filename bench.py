@@ -31,23 +31,56 @@ jaxcache.enable()
 # the reference CPU decoder's throughput (see BASELINE.md).
 BASELINE_CPU_DECODE_GBPS = 0.160
 PAGE_SIZE = 64 * 1024
-CACHE = "/tmp/brotlig_bench_pages_v2.pkl"   # v2: native-q11-encoded corpus
+CACHE = "/tmp/brotlig_bench_pages_v4.pkl"   # v4: real files + synthetic
+
+
+def _real_bytes(min_len: int) -> bytes:
+    """Concatenate real on-disk files (source code, docs, ELF binaries)
+    into a Silesia-style mixed blob (BASELINE config 2's corpus class)."""
+    import glob
+    picks = (sorted(glob.glob("/root/repo/brotlig_tpu/**/*.py",
+                              recursive=True))
+             + sorted(glob.glob("/root/repo/brotlig_tpu/native/*.cpp"))
+             + ["/root/repo/SURVEY.md", "/root/repo/PERF.md"]
+             + sorted(glob.glob("/usr/bin/*"))[:40]
+             + sorted(glob.glob("/usr/lib/x86_64-linux-gnu/*.so*"))[:40])
+    buf = bytearray()
+    for f in picks:
+        try:
+            with open(f, "rb") as fh:
+                buf += fh.read(2 << 20)
+        except OSError:
+            continue
+        if len(buf) >= min_len:
+            break
+    if not buf:
+        buf = bytearray(b"fallback " * 8)
+    while len(buf) < min_len:          # deterministic padding if short
+        buf += buf[: min_len - len(buf)]
+    return bytes(buf)
 
 
 def make_corpus_pages(n_pages: int):
-    """Synthetic mixed corpus: text-like, structured, binary-ish pages."""
+    """Mixed corpus: half real files (code + ELF binaries + docs), half
+    synthetic text/structured/repetitive pages."""
     words = [b"the ", b"of ", b"and ", b"compression ", b"stream ",
              b"page ", b"huffman ", b"entropy ", b"decode ", b"brotli "]
+    real = _real_bytes(((n_pages + 1) // 2) * PAGE_SIZE)
+    nextreal = 0
     pages = []
     for i in range(n_pages):
         r = np.random.default_rng(i)
-        kind = i % 3
-        if kind == 0:  # text
+        kind = i % 6
+        if kind in (0, 2, 4):          # real-file pages (half the corpus)
+            pages.append(real[nextreal * PAGE_SIZE:
+                              (nextreal + 1) * PAGE_SIZE])
+            nextreal += 1
+        elif kind == 1:  # text
             buf = bytearray()
             while len(buf) < PAGE_SIZE:
                 buf += words[int(r.integers(0, len(words)))]
             pages.append(bytes(buf[:PAGE_SIZE]))
-        elif kind == 1:  # structured binary
+        elif kind == 3:  # structured binary
             a = (r.integers(0, 16, PAGE_SIZE) +
                  (np.arange(PAGE_SIZE) // 256) % 64) % 256
             pages.append(a.astype(np.uint8).tobytes())
@@ -64,26 +97,37 @@ def encoded_batch(n_pages: int):
         if len(pages) >= n_pages:
             return pages[:n_pages], comps[:n_pages]
     pages = make_corpus_pages(n_pages)
-    comps = [_encode_one(p) for p in pages]
+    comps = []
+    kept = []
+    filler = make_corpus_pages(2)[1]    # compressible text page
+    for p in pages:
+        c = _encode_one(p)
+        if c is None:                   # incompressible real page: blend
+            p = p[: PAGE_SIZE // 2] + filler[: PAGE_SIZE // 2]
+            c = _encode_one(p)
+        if c is None:
+            p, c = filler, _encode_one(filler)
+        kept.append(p)
+        comps.append(c)
+    pages = kept
     with open(CACHE, "wb") as f:
         pickle.dump((pages, comps), f)
     return pages, comps
 
 
-def _encode_one(page: bytes) -> bytes:
+def _encode_one(page: bytes):
     """Compress one page to a bare page blob (native q11 encoder; the
-    single-page container is header(8) + table(4) + payload)."""
+    single-page container is header(8) + table(4) + payload). Returns
+    None when the page would be stored raw (the decode-kernel bench only
+    times compressed pages; the stream path memcpys raw ones)."""
     try:
         from brotlig_tpu import native
         blob = native.encode(page, page_size=PAGE_SIZE)
         comp = blob[12:]
-        assert len(comp) < len(page), "bench page stored raw"
-        return comp
+        return comp if len(comp) < len(page) else None
     except Exception:
         from brotlig_tpu.refimpl.page_encoder import encode_page
-        c = encode_page(page, is_last=True)
-        assert c is not None
-        return c
+        return encode_page(page, is_last=True)
 
 
 def main():

@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "tpu-full: device match finding + serialization)")
     p.add_argument("--num-repeat", type=int, default=1,
                    help="repeat codec N times and report the best")
+    p.add_argument("--compare-brotli", action="store_true",
+                   help="also run plain brotli q11/lgwin24 on the input "
+                        "and report its size/time beside Brotli-G "
+                        "(reference brotlig_cli.cpp:532-624)")
+    p.add_argument("--no-abort-key", action="store_true",
+                   help="disable the ESC abort watcher on TTYs "
+                        "(reference brotlig_cli.cpp:329-365)")
     # preconditioning (encode only)
     p.add_argument("--precondition", action="store_true")
     p.add_argument("--data-format", choices=sorted(FORMATS), default=None)
@@ -42,6 +49,61 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--swizzle", action="store_true")
     p.add_argument("--delta-encode", action="store_true")
     return p
+
+
+def _start_esc_watcher(flag: dict):
+    """Raw-mode stdin reader that flags ESC; returns a stop() restoring
+    the terminal. Mirrors the reference's keyboard poll during long
+    encodes (brotlig_cli.cpp:329-365)."""
+    import termios
+    import threading
+    import tty
+
+    fd = sys.stdin.fileno()
+    saved = termios.tcgetattr(fd)
+    tty.setcbreak(fd)
+    stop_evt = threading.Event()
+
+    def _reader():
+        import select
+        while not stop_evt.is_set():
+            r, _, _ = select.select([fd], [], [], 0.1)
+            if r and sys.stdin.read(1) == "\x1b":
+                flag["esc"] = True
+                return
+
+    th = threading.Thread(target=_reader, daemon=True)
+    th.start()
+
+    def stop():
+        stop_evt.set()
+        th.join(timeout=0.5)
+        termios.tcsetattr(fd, termios.TCSADRAIN, saved)
+
+    return stop
+
+
+def _compare_brotli(data: bytes, compressing: bool, reps: int) -> None:
+    """Run plain brotli q11/lgwin24 beside Brotli-G and print its line
+    (reference brotlig_cli.cpp:532-624)."""
+    from .utils import brotli_codec as B
+
+    if not B.available():
+        print("brotli:  (system libbrotli not available, skipped)")
+        return
+    best = None
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        comp = B.compress(data)
+        if not compressing:  # time the decode side too
+            B.decompress(comp, len(data))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    big = max(len(data), len(comp))
+    print(f"brotli:  {len(comp)} bytes, {best:.4f} s, "
+          f"{big / best / (1 << 30):.3f} GiB/s, "
+          f"ratio {len(data) / max(len(comp), 1):.3f}x "
+          f"(q{B.QUALITY}/lgwin{B.LGWIN})")
 
 
 def main(argv=None) -> int:
@@ -65,16 +127,34 @@ def main(argv=None) -> int:
             num_mip_levels=args.mips, row_pitch_in_bytes=args.pitch)
         dc.check()
 
+    # ESC abort watcher (reference brotlig_cli.cpp:329-365): on a TTY, a
+    # raw-mode reader thread flags ESC and the encode feedback hook aborts
+    abort_flag = {"esc": False}
+    watcher = None
+    if compressing and not args.no_abort_key and sys.stdin.isatty():
+        watcher = _start_esc_watcher(abort_flag)
+    feedback = ((lambda _mt, _msg: abort_flag["esc"])
+                if watcher is not None else None)
+
+    from .format.errors import Aborted
     best = None
-    for _ in range(max(args.num_repeat, 1)):
-        t0 = time.perf_counter()
-        if compressing:
-            out = api.encode(data, page_size=args.page_size, dc_params=dc,
-                             backend=args.encode_backend)
-        else:
-            out = api.decode(data, backend=args.backend)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+    try:
+        for _ in range(max(args.num_repeat, 1)):
+            t0 = time.perf_counter()
+            if compressing:
+                out = api.encode(data, page_size=args.page_size,
+                                 dc_params=dc, backend=args.encode_backend,
+                                 feedback=feedback)
+            else:
+                out = api.decode(data, backend=args.backend)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    except Aborted:
+        print("aborted (ESC)", file=sys.stderr)
+        return 130
+    finally:
+        if watcher is not None:
+            watcher()
 
     outfile = args.output or (
         args.input + ".brotlig" if compressing
@@ -89,6 +169,11 @@ def main(argv=None) -> int:
     print(f"bandwidth: {big / best / (1 << 30):.3f} GiB/s")
     if compressing:
         print(f"ratio:  {len(data) / max(len(out), 1):.3f}x")
+    if args.compare_brotli:
+        # compare on the raw side: when decompressing, measure brotli's
+        # roundtrip of OUR decoded output so sizes are comparable
+        raw = data if compressing else out
+        _compare_brotli(raw, compressing, args.num_repeat)
     return 0
 
 

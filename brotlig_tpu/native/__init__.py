@@ -76,6 +76,12 @@ def _load():
                 ctypes.c_int, u32p, u32p, u32p, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint64)]
+            lib.blg_parse_page.restype = ctypes.c_int
+            lib.blg_parse_page.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+                ctypes.c_int, u32p, u32p, u32p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64)]
             _lib = lib
         except Exception as e:  # toolchain missing / build failure
             _build_error = str(e)
@@ -112,6 +118,12 @@ def decode(data: bytes, num_threads: int = 0) -> bytes:
         table_off = 8 + (8 if precon else 0)
         if len(data) < table_off + 4 * num_pages:
             raise ValueError("corrupt stream (truncated page table)")
+        # plausibility: every page needs at least one payload byte (real
+        # compressed pages need ~6; a raw last page can be 1), so a tiny
+        # input cannot claim a multi-GB decompressed size
+        if len(data) < table_off + 4 * num_pages + num_pages:
+            raise ValueError("corrupt stream (payload too small for "
+                             "claimed page count)")
     out = (ctypes.c_uint8 * max(n, 1))()
     out_size = ctypes.c_uint64(0)
     rc = lib.blg_decode(padded, len(data), out, n,
@@ -197,6 +209,28 @@ def encode_page_cmds(data: bytes, is_last: bool, ins, cpy, dist,
     if rc != 0:
         raise ValueError(f"native page encode failed (rc={rc})")
     return bytes(bytearray(out)[: out_size.value])
+
+
+def parse_page(data: bytes, max_chain: int = 64, quality: int = 11):
+    """Return the q11-winning command stream (ins, cpy, dist arrays, tail)
+    for one page — analysis hook for parse-quality comparisons."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native encoder unavailable: {_build_error}")
+    cap = len(data) // 2 + 64
+    ins = np.zeros(cap, dtype=np.uint32)
+    cpy = np.zeros(cap, dtype=np.uint32)
+    dist = np.zeros(cap, dtype=np.uint32)
+    ncmds = ctypes.c_uint64(0)
+    tail = ctypes.c_uint64(0)
+    rc = lib.blg_parse_page(data, len(data), max_chain, quality, ins, cpy,
+                            dist, cap, ctypes.byref(ncmds),
+                            ctypes.byref(tail))
+    if rc != 0:
+        raise ValueError(f"parse failed (rc={rc})")
+    k = ncmds.value
+    return ins[:k], cpy[:k], dist[:k], int(tail.value)
 
 
 def decode_page(data: bytes, out_size: int) -> bytes:

@@ -685,52 +685,110 @@ std::vector<uint8_t> EncodePageFromCommands(const uint8_t* data, uint32_t n,
 // the same idea as the reference's Zopfli backward references
 // (SURVEY §2.11), built fresh around our cost model.
 
-void CostsFromCommands(const uint8_t* d, uint32_t n,
-                       const std::vector<Cmd>& cmds, uint32_t tail,
-                       double* litcost, double* distcost,
-                       double* cmd_base_cost) {
+// Per-symbol bit costs derived from the previous pass, mirroring what the
+// serializer will actually pay (the reference gets this from brotli's
+// ZopfliCostModel over its histograms, PageEncoder.cpp:87-147):
+//  - literal / distance costs: real package-merge code lengths
+//  - command-symbol cost split by copy code and by implicit-ring0 vs
+//    explicit distance (codes < 128 skip the distance symbol entirely)
+//  - per-literal amortization of insert-code extra bits
+struct CostModel {
+  double litcost[256];
+  double distcost[kDistAlphabet];
+  double cmd_last[24];   // implicit-ring0 command symbol, by copy code
+  double cmd_expl[24];   // explicit-distance command symbol, by copy code
+  double lit_step_extra;
+};
+
+void BuildCostModel(const uint8_t* d, uint32_t n,
+                    const std::vector<Cmd>& cmds, uint32_t tail,
+                    CostModel* cm) {
   uint32_t hl[256] = {0};
-  std::vector<uint32_t> hd(kDistAlphabet, 0);
-  uint64_t nl = tail, ndist = 0;
+  std::vector<uint32_t> hd(kDistAlphabet, 0), hc(kCmdAlphabet, 0);
+  uint32_t h_ic[24] = {0};
+  uint64_t nl = tail, insert_extra = 0;
   uint32_t pos = 0;
   uint32_t ring[4] = {4, 11, 15, 16};
   for (auto& c : cmds) {
     for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
     nl += c.ins;
     pos += c.ins + c.cpy;
+    uint32_t ic = GetInsertCode(c.ins);
+    insert_extra += kInsExtra[ic];
+    h_ic[ic]++;
     if (!c.cpy) continue;
-    // ring-aware stats so the DP sees short-code savings
+    // replay the serializer's symbol assignment (ring-aware) so the
+    // histograms match what the next pass will pay
     uint32_t sym = RingShortCode(c.dist, ring);
     if (sym == UINT32_MAX) {
       uint32_t nb, ex;
       EncodeDistance(c.dist, 0, 0, sym, nb, ex);
     }
-    if (sym < kDistAlphabet) { hd[sym]++; ++ndist; }
+    uint32_t cc = GetCopyCode(c.cpy);
+    bool use_last = (sym == 0 && ic < 8 && cc < 16);
+    hc[CombineLengthCodes(ic, cc, use_last)]++;
+    if (!use_last && sym < kDistAlphabet) hd[sym]++;
     if (sym != 0) {
       ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
       ring[0] = c.dist;
     }
   }
   for (uint32_t i = tail ? n - tail : n; i < n; ++i) hl[d[i]]++;
+
+  // literal costs: actual depth-limited code lengths; unseen symbols get
+  // an entropy-scale penalty (they would lengthen the stored table too)
+  uint8_t ll[256];
+  PackageMerge(hl, 256, kMaxDepth, ll);
   double tl = std::max<double>(nl, 1);
   for (int s = 0; s < 256; ++s)
-    litcost[s] = hl[s] ? std::min(15.0, -std::log2(hl[s] / tl))
-                       : std::min(15.0, std::log2(tl) + 2);
+    cm->litcost[s] = hl[s] ? ll[s]
+                           : std::min(15.0, std::log2(tl) + 2);
+
+  uint64_t ndist = 0;
+  for (uint32_t s = 0; s < kDistAlphabet; ++s) ndist += hd[s];
+  std::vector<uint8_t> dl(kDistAlphabet);
+  PackageMerge(hd.data(), kDistAlphabet, kMaxDepth, dl.data());
   double td = std::max<double>(ndist, 1);
   for (uint32_t s = 0; s < kDistAlphabet; ++s)
-    distcost[s] = hd[s] ? std::min(15.0, -std::log2(hd[s] / td))
-                        : std::min(15.0, std::log2(td) + 4);
-  // empirically tuned flat command-symbol cost (entropy-derived values
-  // over-penalize matches and regress the parse)
-  (void)cmds;
-  *cmd_base_cost = 8.0;
+    cm->distcost[s] = hd[s] ? dl[s]
+                            : std::min(15.0, std::log2(td) + 4);
+
+  // command-symbol costs: expected code length per copy code, weighting
+  // the joint (ins, cpy) symbol over the page's insert-code distribution
+  std::vector<uint8_t> cl(kCmdAlphabet);
+  PackageMerge(hc.data(), kCmdAlphabet, kMaxDepth, cl.data());
+  uint64_t ncmd = cmds.size() ? cmds.size() : 1;
+  double unseen = std::min(15.0, std::log2(static_cast<double>(ncmd)) + 2);
+  uint64_t tot_ic = 0;
+  for (int ic = 0; ic < 24; ++ic) tot_ic += h_ic[ic];
+  for (uint32_t cc = 0; cc < 24; ++cc) {
+    double wl = 0, we = 0, sw = 0;
+    for (uint32_t ic = 0; ic < 24; ++ic) {
+      double w = tot_ic ? (h_ic[ic] + 0.1) : 1.0;
+      uint32_t pe = CombineLengthCodes(ic, cc, false);
+      we += w * (hc[pe] ? cl[pe] : unseen);
+      if (ic < 8 && cc < 16) {
+        uint32_t pl = CombineLengthCodes(ic, cc, true);
+        wl += w * (hc[pl] ? cl[pl] : unseen);
+      } else {
+        wl += w * unseen;
+      }
+      sw += w;
+    }
+    cm->cmd_last[cc] = wl / sw;
+    cm->cmd_expl[cc] = we / sw;
+  }
+  // spread insert extra bits over the literals that cause them (plus a
+  // small constant so zero-extra pages still prefer matches slightly)
+  cm->lit_step_extra = insert_extra / std::max<double>(nl, 1) + 0.05;
 }
 
 void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
-                      const double* litcost, const double* distcost,
-                      double cmd_base_cost, bool ring_aware,
+                      const CostModel& cm, bool ring_aware,
                       std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
-  const double lit_step_extra = 0.25;
+  const double* litcost = cm.litcost;
+  const double* distcost = cm.distcost;
+  const double lit_step_extra = cm.lit_step_extra;
 
   // hash chains for pass 2
   std::vector<int32_t> head(1 << kHashBits, -1);
@@ -768,9 +826,9 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
       ringst[i + 1] = ringst[i];
     }
     uint32_t skip_to = 0;  // set by the long-match cutoff
-    if (i + 4 <= n) {
+    if (i + 2 <= n) {
       auto relax = [&](uint32_t dist, uint32_t maxlen) {
-        if (!dist || maxlen < 4) return;
+        if (!dist || maxlen < 2) return;
         uint32_t rsym = ring_aware
                             ? RingShortCode(dist, ringst[i].data())
                             : UINT32_MAX;
@@ -787,15 +845,22 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
           rnew = {dist, ringst[i][0], ringst[i][1], ringst[i][2]};
         }
         // try the full length and the base length of each copy code bucket
+        // (short lengths 2-3 included: a ring-hit len-2 copy beats two
+        // literals whenever the command symbol is cheap)
         uint32_t lens[28];
         int nl2 = 0;
         lens[nl2++] = maxlen;
         for (int cc2 = 0; cc2 < 24 && kCpyBase[cc2] < maxlen; ++cc2)
-          if (kCpyBase[cc2] >= 4) lens[nl2++] = kCpyBase[cc2];
+          lens[nl2++] = kCpyBase[cc2];
         for (int t = 0; t < nl2; ++t) {
           uint32_t L = lens[t];
           uint32_t cc2 = GetCopyCode(L);
-          double cost = dp[i] + cmd_base_cost + kCpyExtra[cc2] + dc;
+          double ccost;
+          if (rsym == 0 && cc2 < 16)
+            ccost = std::min(cm.cmd_last[cc2], cm.cmd_expl[cc2] + dc);
+          else
+            ccost = cm.cmd_expl[cc2] + dc;
+          double cost = dp[i] + ccost + kCpyExtra[cc2];
           if (cost < dp[i + L]) {
             dp[i + L] = cost;
             from_len[i + L] = L;
@@ -804,11 +869,26 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
           }
         }
       };
+      // ring probe: short copies at the inherited ring distances cost no
+      // distance extra bits, so even len 2-3 can pay (brotli's Zopfli
+      // checks its distance cache the same way)
+      if (ring_aware) {
+        for (int k = 0; k < 4; ++k) {
+          uint32_t dist = ringst[i][k];
+          if (!dist || dist > i) continue;
+          const uint8_t* a = d + i - dist;
+          const uint8_t* b = d + i;
+          uint32_t limit = std::min(n - i, 16u);
+          uint32_t L = 0;
+          while (L < limit && a[L] == b[L]) ++L;
+          if (L >= 2) relax(dist, L);
+        }
+      }
       uint32_t rl = std::min<uint32_t>(run_d1[i], n - i);
       relax(1, rl);
       uint32_t bestL = rl;
       // inside a long run, hash candidates add nothing the run lacks
-      if (rl < 64) {
+      if (rl < 64 && i + 4 <= n) {
         int32_t cand = head[hash4(i)];
         int chain = max_chain;
         const uint8_t* b = d + i;
@@ -887,39 +967,53 @@ void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
   std::vector<Cmd> cur;
   uint32_t cur_tail = 0;
   FindMatches(d, n, max_chain, cur, cur_tail);
-  double litcost[256], distcost[kDistAlphabet], cmd_base = 8.0;
-  int iters = ring_aware ? 2 : 1;
+  CostModel cm;
+  int iters = ring_aware ? 3 : 2;
   for (int it = 0; it < iters; ++it) {
-    CostsFromCommands(d, n, cur, cur_tail, litcost, distcost, &cmd_base);
+    BuildCostModel(d, n, cur, cur_tail, &cm);
     cur.clear();
-    ParseOptimalPass(d, n, max_chain, litcost, distcost, cmd_base,
-                     ring_aware, cur, cur_tail);
+    ParseOptimalPass(d, n, max_chain, cm, ring_aware, cur, cur_tail);
   }
   out_cmds = std::move(cur);
   out_tail = cur_tail;
 }
 
 std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
-                                bool is_last, int max_chain, int quality) {
+                                bool is_last, int max_chain, int quality,
+                                std::vector<Cmd>* win_cmds = nullptr,
+                                uint32_t* win_tail = nullptr) {
   std::vector<Cmd> cmds;
   uint32_t tail = 0;
   FindMatches(data, n, max_chain, cmds, tail);
+  std::vector<Cmd> bcmds = cmds;
+  uint32_t btail = tail;
   std::vector<uint8_t> greedy =
       EncodePageFromCommands(data, n, is_last, cmds, tail);
-  if (quality < 10 || n < 64) return greedy;
+  if (quality < 10 || n < 64) {
+    if (win_cmds) { *win_cmds = std::move(bcmds); *win_tail = btail; }
+    return greedy;
+  }
+  // q11 searches deep chains, like the reference's HQ Zopfli hasher
+  // (PageEncoder.cpp:87-147 wraps BrotliCreateHqZopfliBackwardReferences)
+  max_chain = std::max(max_chain, 256);
   // q11: cost-model optimal parses with and without ring-aware distance
   // costs (the ring approximation wins on data with repeated strides and
   // loses on some text; neither dominates), keep the smallest page
   std::vector<uint8_t> best = greedy;
-  for (int ra = 0; ra < 2; ++ra) {
+  for (int ra = 1; ra < 2; ++ra) {
     std::vector<Cmd> ocmds;
     uint32_t otail = 0;
     ParseOptimal(data, n, max_chain, ra != 0, ocmds, otail);
+    std::vector<Cmd> ocopy = ocmds;
     std::vector<uint8_t> opt =
         EncodePageFromCommands(data, n, is_last, ocmds, otail);
-    if (!opt.empty() && (best.empty() || opt.size() < best.size()))
+    if (!opt.empty() && (best.empty() || opt.size() < best.size())) {
       best = std::move(opt);
+      bcmds = std::move(ocopy);
+      btail = otail;
+    }
   }
+  if (win_cmds) { *win_cmds = std::move(bcmds); *win_tail = btail; }
   return best;
 }
 
@@ -959,6 +1053,28 @@ int blg_encode_page_cmds(const uint8_t* data, uint64_t n, int is_last,
   if (comp.size() > cap) return 3;
   std::memcpy(dst, comp.data(), comp.size());
   *out_size = comp.size();
+  return 0;
+}
+
+// Export the q11-winning command stream for one page (analysis/debug: lets
+// Python compute entropy-ideal costs per section and compare parses).
+// Returns 0 on success, 3 if cap is too small.
+int blg_parse_page(const uint8_t* data, uint64_t n, int max_chain,
+                   int quality, uint32_t* ins, uint32_t* cpy,
+                   uint32_t* dist, uint64_t cap, uint64_t* ncmds,
+                   uint64_t* tail) {
+  std::vector<Cmd> cmds;
+  uint32_t t = 0;
+  EncodePage(data, static_cast<uint32_t>(n), true, max_chain, quality,
+             &cmds, &t);
+  if (cmds.size() > cap) return 3;
+  for (size_t i = 0; i < cmds.size(); ++i) {
+    ins[i] = cmds[i].ins;
+    cpy[i] = cmds[i].cpy;
+    dist[i] = cmds[i].dist;
+  }
+  *ncmds = cmds.size();
+  *tail = t;
   return 0;
 }
 

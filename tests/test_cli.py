@@ -54,6 +54,22 @@ class TestCli:
         assert r.returncode == 2
         assert "data-format" in r.stderr
 
+    def test_compare_brotli(self, tmp_path):
+        from brotlig_tpu.utils import brotli_codec
+        data = make_data("text", 90_000, seed=2)
+        (tmp_path / "c.bin").write_bytes(data)
+        r = run_cli(["c.bin", "--compare-brotli", "--encode-backend",
+                     "cpu"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "brotli:" in r.stdout
+        if brotli_codec.available():
+            assert "ratio" in r.stdout.split("brotli:")[1]
+            # brotli roundtrip sanity via the codec module itself
+            comp = brotli_codec.compress(data)
+            assert brotli_codec.decompress(comp, len(data)) == data
+        else:
+            assert "skipped" in r.stdout
+
     def test_encode_backend_flag(self, tmp_path):
         data = make_data("text", 90_000, seed=4)
         src = tmp_path / "f.bin"
