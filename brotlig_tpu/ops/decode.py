@@ -526,20 +526,22 @@ def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
         from . import pallas_decode as PD
         out = PD.phase_a_pallas(words, in_sizes, page_size, max_cmds,
                                 PD.wl_bucket(s_hint), _pallas_interpret())
-        return ("pallas", out)
+        # words/w_hint ride along for the rare chunk-overflow fallback
+        return ("pallas", (out, words, in_sizes, w_hint))
     words = _narrow_words(words, w_hint)
     return ("xla", _stage_symbols(words, in_sizes, page_size, max_cmds))
 
 
 def _bucket_sizes(peak: int, full: int):
-    for b in (full // 8, full // 4, full // 2):
-        if peak <= b:
-            return b
-    return full
+    """Smallest multiple of full//8 covering peak (bounded compile
+    variants, fine enough that mixed corpora avoid worst-case shapes)."""
+    step = max(full // 8, 1)
+    return min(((peak + step - 1) // step) * step, full)
 
 
-def _finish_pallas_state(out, page_size: int, max_cmds: int):
+def _finish_pallas_state(data, page_size: int, max_cmds: int):
     from . import pallas_decode as PD
+    out, words, in_sizes, w_hint = data
     (ncmds, lit_t, chs, chc, cmd_t,
      npostfix, ndirect, isdelta, stats) = out
     P = ncmds.shape[0]
@@ -550,6 +552,14 @@ def _finish_pallas_state(out, page_size: int, max_cmds: int):
     stats_np = np.asarray(stats)
     rbucket = _bucket_sizes(int(stats_np[:, 1].max()) + 1, R)
     cbucket = _bucket_sizes(int(stats_np[:, 0].max()) + 1, chs.shape[0])
+    if int(stats_np[:, 0].max()) >= chs.shape[0] - 1:
+        # a block exhausted its literal-chunk capacity (possible only for
+        # extremely unbalanced batches: lockstep trips follow the
+        # per-round max over pages) - the clamped records would be wrong,
+        # so rerun this batch through the XLA wavefront path
+        st = _stage_symbols(_narrow_words(words, w_hint), in_sizes,
+                            page_size, max_cmds)
+        return decode_pages_finish(("xla", st), page_size, max_cmds)
     if os.environ.get("BLG_PALLAS_B", "1") != "0":
         npd = jnp.stack([npostfix, ndirect], axis=1)
         out_pages = PD.finish_decode_pallas(

@@ -716,24 +716,15 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     phase-B chunk-sweep kernel, all in one compiled program."""
     P = ncmds.shape[0]
     ins_a, cpy_a, dist_a, _ = _cmds_split(cmd_t, P, rbucket)
-    if cbucket <= 2048:
-        # phase A already emitted the slots packed 4-bytes-per-word:
-        # hand the rows straight to phase B, no repacking pass
-        cb4 = (cbucket + 3) // 4
-        slots4 = lit_t[: cb4 * P].reshape(cb4, P, CHUNK_W)
-        recs = chs[:cbucket].T
-        return _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a,
-                              dist_a, None, npd, page_size, interpret,
-                              resolved=True)
-    # pathological chunk counts: compact first (bounds phase-B VMEM)
-    lit_cap = page_size + 64
-    litbuf = _compact_literals(lit_t, chs, chc, page_size, cbucket, lit_cap)
-    lch = (litbuf.shape[1] + 127) // 128
-    slots4 = _pack_slots(_to_chunk_major(litbuf.astype(I32), lch))
-    recs = jnp.broadcast_to(
-        (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
-    return _phase_b_sweep(ncmds, slots4, lch, recs, ins_a, cpy_a, dist_a,
-                          None, npd, page_size, interpret, resolved=True)
+    # phase A already emitted the slots packed 4-bytes-per-word: hand the
+    # rows straight to phase B (pb shrinks for big chunk counts to stay
+    # inside VMEM; see _sweep_pb)
+    cb4 = (cbucket + 3) // 4
+    slots4 = lit_t[: cb4 * P].reshape(cb4, P, CHUNK_W)
+    recs = chs[:cbucket].T
+    return _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a,
+                          dist_a, None, npd, page_size, interpret,
+                          resolved=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,6 +1024,20 @@ def _pack_slots(slots):
             | (slots[3::4] << 24))
 
 
+def _sweep_pb(P: int, cb4: int, N: int, S: int) -> int:
+    """Pages per phase-B block: the biggest pb whose VMEM footprint
+    (slots + packed out + command planes, double-buffered inputs) fits
+    ~13MB of the 16MB scoped budget."""
+    words_per_page = (2 * cb4 * 128            # packed slots, x2 buffers
+                      + 2 * (S // 512) * 128   # packed out blocks
+                      + 8 * ((N + 127) // 128) * 128
+                      + 2 * ((cb4 * 4 + 127) // 128) * 128)
+    pb = MAX_PB_B
+    while pb > 1 and (pb * words_per_page * 4 > 13 * (1 << 20) or P % pb):
+        pb -= 1
+    return pb
+
+
 def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
                    dextra_a, npd, page_size: int, interpret: bool = False,
                    resolved: bool = False):
@@ -1049,9 +1054,7 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
 
     P, N = ins_a.shape
     S = page_size
-    pb = MAX_PB_B
-    while P % pb:
-        pb -= 1
+    pb = _sweep_pb(P, slots4.shape[0], N, S)
     cid = jnp.arange(N, dtype=I32)[None, :]
     valid = cid < ncmds[:, None]
     ins_m = jnp.where(valid, ins_a, 0)

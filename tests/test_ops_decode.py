@@ -79,6 +79,12 @@ class TestStreamJax:
         blob = encode(data)
         assert decode_stream_jax(blob) == data
 
+    def test_128k_pages(self):
+        # the max page size (BrotligConstants.h:85) through the TPU route
+        data = make_data("text", 200_000, seed=77)
+        blob = encode(data, page_size=131072)
+        assert decode_stream_jax(blob) == data
+
     def test_mixed_raw_and_compressed(self):
         # interleave compressible and incompressible pages
         rng = np.random.default_rng(0)
