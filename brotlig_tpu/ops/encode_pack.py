@@ -9,10 +9,13 @@ writing anywhere:
 * code lengths: ceil(-log2 p) is prefix-free by construction (2^-L <= p
   sums below 1), so no Huffman tree walk is needed; a bounded widen loop
   absorbs the rare depth-15 clip overflow;
-* tables are stored in complex mode with literal-only RLE (no 16/17 run
-  codes): every table costs its alphabet in cl-coded symbols — a few
-  hundred bits more than run-coded storage, but the item count becomes
-  static, which makes the whole emission schedule a closed form;
+* tables are stored like the reference encoder stores them
+  (BrotligHuffman.cpp:262-363): trivial / simple / complex mode chosen
+  per page, complex tables run-coded with the exact reference RLE
+  splitting (codes 16/17, _rle_items). Item counts are data-dependent
+  but bounded by the alphabet, so the emission block keeps a static
+  shape with per-item validity — item j rides stream j%32, matching the
+  decoder's speculative lane ownership;
 * the literal interleave follows R_k = 32*ceil(cumlit_k/32) — the
   prev_tail recurrence (PageEncoder.cpp:518-522) has this closed form for
   full rounds, proven by induction;
@@ -140,9 +143,65 @@ def _histogram(values, valid, alphabet):
     return (lo[:, 1:] - lo[:, :-1]).astype(I32)
 
 
+def _encode_distance_vec(d, npostfix, ndirect):
+    """Vector EncodeDistance (format/lut.py:125-142) with per-page params.
+
+    d: [P, N] distances >= 1; npostfix/ndirect: [P] ints.
+    Returns (sym, nbits, extra)."""
+    np_ = npostfix[:, None]
+    nd_ = ndirect[:, None]
+    direct = d <= nd_
+    dd = jnp.maximum(d - nd_ - 1, 0)
+    postfix = dd & ((jnp.int32(1) << np_) - 1)
+    hval = dd >> np_
+    nb = _bitlen_arr(hval + 4) - 2
+    b = ((hval + 4) >> nb) & 1
+    extra = hval + 4 - ((2 + b) << nb)
+    sym = 16 + nd_ + (((2 * (nb - 1) + b) << np_) | postfix)
+    sym = jnp.where(direct, 16 + d - 1, sym)
+    nb = jnp.where(direct, 0, nb)
+    extra = jnp.where(direct, 0, extra)
+    return sym, nb, extra
+
+
+def _ring_before(dist, valid):
+    """Exact distance-ring state before each command, vectorized.
+
+    The push rule (sym != 0 pushes) only depends on d_j != ring[0], and
+    ring[0] before command j is always d_{j-1} (pushed or not), so the
+    ring evolution is a pure function of the distance sequence: pushes
+    happen exactly where the distance changes, and each push displaces
+    the then-ring[0] into ring[1]. ring[k] before j is therefore the
+    displaced value at the k-th most recent change (PageDecoder.cpp ring
+    semantics; initial ring {4, 11, 15, 16})."""
+    P, N = dist.shape
+    d = jnp.where(valid, dist, 0)
+    r0 = jnp.concatenate([jnp.full((P, 1), 4, I32), d[:, :-1]], axis=1)
+    push = (d != r0) & valid
+    t_inc = jnp.cumsum(push.astype(I32), axis=1)
+    t_exc = t_inc - push.astype(I32)          # pushes strictly before j
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    # displaced values in push order, prefixed by the initial ring tail
+    # (each push shifts the initial 11/15/16 one slot deeper):
+    # pv_ext = [16, 15, 11, pv_1, pv_2, ...]; ring[k] before j with t
+    # prior pushes is pv_ext[3 + t - k]
+    pv_seq = jnp.zeros((P, N + 1), I32).at[
+        rows, jnp.where(push, t_exc, N)].add(r0, mode="drop")[:, :N]
+    init = jnp.broadcast_to(
+        jnp.asarray([16, 15, 11], dtype=I32)[None, :], (P, 3))
+    pv_ext = jnp.concatenate([init, pv_seq], axis=1)
+
+    def back(k):
+        idx = 3 + t_exc - k
+        return jnp.take_along_axis(pv_ext, jnp.clip(idx, 0, N + 2), axis=1)
+
+    return r0, back(1), back(2), back(3)
+
+
 def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
     """Per-command wire fields. Returns dict of [P, NT] arrays where
-    NT = max_cmds + 2 (tail insert-only command + sentinel)."""
+    NT = max_cmds + 2 (tail insert-only command + sentinel), plus the
+    per-page distance params (npostfix, ndist) for the page header."""
     P, S = pages.shape
     N = ins.shape[1]
     NT = N + 2
@@ -152,27 +211,84 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
     covered = jnp.sum(ins + cpy, axis=1)
     tail = in_sizes - covered
 
-    # distance symbols: code 0 when dist equals the previous command's
-    # distance (ring head == previous distance, see ops/encode.py notes),
-    # else absolute long/direct codes with npostfix=0, ndirect=0
-    prev_dist = jnp.concatenate(
-        [jnp.zeros((P, 1), I32), dist[:, :-1]], axis=1)
-    code0 = valid & (dist == prev_dist) & (dist > 0)
+    # ---- distance ring codes 0-15 (exact ring state, zero extra bits) ----
+    is_copy = valid & (cpy > 0) & (dist > 0)
     d = jnp.maximum(dist, 1)
-    hval = d - 1
-    dnb = jnp.zeros((P, N), I32)
-    x = hval + 4
-    for s in (16, 8, 4, 2, 1):
-        take = (x >> s) > 0
-        dnb = dnb + jnp.where(take, s, 0)
-        x = jnp.where(take, x >> s, x)
-    dnb = dnb + (x > 0) - 2          # bitlength(hval+4) - 2
-    b = ((hval + 4) >> dnb) & 1
-    dextra = hval + 4 - ((2 + b) << dnb)
-    dsym_long = 16 + 2 * (dnb - 1) + b
-    dsym = jnp.where(code0, 0, dsym_long)
-    dnbits = jnp.where(code0, 0, dnb)
-    dextra = jnp.where(code0, 0, dextra)
+    r0, r1, r2, r3 = _ring_before(dist, is_copy)
+    ring_code = jnp.full((P, N), -1, I32)
+    # native RingShortCode order: exact hits 0-3, then ring[0/1] +/- 1..3
+    cands = [(r0, 0), (r1, 1), (r2, 2), (r3, 3)]
+    for k in range(3):
+        cands += [(r0 - (k + 1), 4 + 2 * k), (r0 + (k + 1), 5 + 2 * k)]
+    for k in range(3):
+        cands += [(r1 - (k + 1), 10 + 2 * k), (r1 + (k + 1), 11 + 2 * k)]
+    for val, code in reversed(cands):
+        ring_code = jnp.where(d == val, code, ring_code)
+    ring_code = jnp.where(is_copy, ring_code, -1)
+    code0 = ring_code == 0
+
+    def dist_cost(syms, extra_nb, mask):
+        """Entropy + extra bits + ~6 bits/used-symbol storage estimate
+        (native brotlig_encode.cpp:513-519). syms masked to A_DST."""
+        n_m = jnp.sum(mask.astype(I32), axis=1).astype(jnp.float32)
+        sv = jnp.sort(jnp.where(mask, syms, A_DST), axis=1)
+        seg = jnp.concatenate(
+            [jnp.ones((P, 1), bool), sv[:, 1:] != sv[:, :-1]],
+            axis=1) & (sv < A_DST)
+        pos = jnp.broadcast_to(cid, (P, N))
+        srt = jnp.sort(jnp.where(seg, pos, N), axis=1)
+        cnt = (jnp.concatenate(
+            [srt[:, 1:], jnp.full((P, 1), N, I32)], axis=1) - srt)
+        limit = n_m[:, None] - srt.astype(jnp.float32)
+        cntf = jnp.minimum(cnt.astype(jnp.float32), jnp.maximum(limit, 0))
+        live = (srt < N) & (cntf > 0)
+        ent = jnp.sum(jnp.where(
+            live, cntf * (jnp.log2(jnp.maximum(n_m[:, None], 1))
+                          - jnp.log2(jnp.maximum(cntf, 1))) + 6.0, 0),
+            axis=1)
+        return ent + jnp.sum(
+            jnp.where(mask, extra_nb, 0), axis=1).astype(jnp.float32)
+
+    # ---- per-page (npostfix, ndirect) search over the non-exact-ring
+    # distances (native brotlig_encode.cpp:474-527, ref PageEncoder.cpp:
+    # 324-377): exact-hit codes 0-3 excluded from the candidate set ----
+    exact_hit = (ring_code >= 0) & (ring_code <= 3)
+    search = is_copy & ~exact_hit
+    best_cost = jnp.full((P,), jnp.inf, jnp.float32)
+    best_np = jnp.zeros((P,), I32)
+    best_ndist = jnp.zeros((P,), I32)
+    for np_c in range(4):
+        for ndist_c in (0, 3, 8, 15):
+            npv = jnp.full((P,), np_c, I32)
+            ndv = jnp.full((P,), ndist_c << np_c, I32)
+            sym_c, nb_c, _ = _encode_distance_vec(d, npv, ndv)
+            cost = dist_cost(sym_c, nb_c, search)
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best_np = jnp.where(take, np_c, best_np)
+            best_ndist = jnp.where(take, ndist_c, best_ndist)
+    npostfix = best_np
+    ndirect = best_ndist << best_np
+
+    # ---- ring mode choice: exact hits only (0-3) vs also the offset
+    # codes 4-15 — the offset codes cost zero extra bits but widen the
+    # histogram; neither dominates (native brotlig_encode.cpp:530-560) ----
+    dsym_l, dnb_l, dx_l = _encode_distance_vec(d, npostfix, ndirect)
+    ring_exact = jnp.where(exact_hit, ring_code, -1)
+    use_last_m = (ring_code == 0)  # same for both variants
+    mask_m = is_copy & ~use_last_m
+    costs = []
+    for rc in (ring_exact, ring_code):
+        sym_v = jnp.where(rc >= 0, rc, dsym_l)
+        nb_v = jnp.where(rc >= 0, 0, dnb_l)
+        costs.append(dist_cost(sym_v, nb_v, mask_m))
+    all_wins = (costs[1] < costs[0])[:, None]
+    ring_sel = jnp.where(all_wins, ring_code, ring_exact)
+
+    use_ring = ring_sel >= 0
+    dsym = jnp.where(use_ring, ring_sel, dsym_l)
+    dnbits = jnp.where(use_ring, 0, dnb_l)
+    dextra = jnp.where(use_ring, 0, dx_l)
 
     inscode = jnp.zeros((P, N), I32)
     # insert length code via arith (vector helper mirrors lut tables)
@@ -275,7 +391,7 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
         sdist=(store_dist.astype(I32), jnp.zeros((P,), I32),
                jnp.zeros((P,), I32)),
     )
-    return fields, ntotal, tail, has_tail
+    return fields, ntotal, tail, has_tail, npostfix, best_ndist
 
 
 def cmd_field(fields, name, t_idx, ncmds, has_tail):
@@ -305,41 +421,203 @@ def _bitlen_arr(x):
     return bl + (x > 0)
 
 
-def _table_block(cl_lens, cl_codes, sym_lens, A):
-    """Static emission slots for one table, per stream.
+def _rle_items(lens, A):
+    """Run-coded table items, exactly mirroring the reference's splitting
+    (format/rle.py::compute_rle_codes, BrotligUtils.cpp:76-228): literal
+    lengths 0..15, code 16 = repeat prev nonzero 3..6 (2 extra bits),
+    code 17 = repeat zero 3..10 (3 extra bits), with the first-position
+    literal and the reps==11 / reps==7 split quirks.
 
-    Returns (nbits [P,32,K], vals [P,32,K]) with
-    K = 2 + ceil(A/32): [header, cl-len, item_0.., item_k].
-    Complex mode, literal-only RLE: item (s,k) encodes symbol a=k*32+s's
-    code length with the cl code.
+    lens: [P, A]. Returns (codes, extra, ewidth) each [P, A32] int32 and
+    item count M [P], where A32 = ceil(A/32)*32; items j >= M are zeroed.
+    """
+    P = lens.shape[0]
+    A32 = (A + 31) // 32 * 32
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    pos = jnp.broadcast_to(jnp.arange(A, dtype=I32)[None, :], (P, A))
+
+    # runs: position 0 is always its own unit; real runs start at 1
+    prev_len = jnp.concatenate(
+        [jnp.zeros((P, 1), I32), lens[:, :-1]], axis=1)
+    start = (pos <= 1) | (lens != prev_len)
+    run_id = jnp.cumsum(start.astype(I32), axis=1) - 1          # [P, A]
+    nruns = run_id[:, -1] + 1
+
+    # per-run start position / value / reps / prev value (run index space
+    # shares the [P, A] shape; rows >= nruns are padding)
+    rs = jnp.zeros((P, A + 1), I32).at[
+        rows, jnp.where(start, run_id, A)].add(pos, mode="drop")[:, :A]
+    v = jnp.take_along_axis(lens, jnp.clip(rs, 0, A - 1), axis=1)
+    r_next = jnp.concatenate([rs[:, 1:], jnp.full((P, 1), A, I32)], axis=1)
+    ridx = jnp.broadcast_to(jnp.arange(A, dtype=I32)[None, :], (P, A))
+    r_end = jnp.where(ridx + 1 < nruns[:, None], r_next, A)
+    reps = jnp.maximum(r_end - rs, 0)
+    prev = jnp.concatenate([jnp.full((P, 1), 8, I32), v[:, :-1]], axis=1)
+
+    is0 = ridx == 0
+    zero = v == 0
+    # zero runs: optional leading literal 0 (reps==11), chunks of <=10
+    leadz = (reps == 11).astype(I32)
+    rz = reps - leadz
+    tz, remz = rz // 10, rz % 10
+    kz = tz + (remz >= 3)
+    lz = jnp.where(remz >= 3, 0, remz)
+    # nonzero runs: literal if prev differs, second literal if then 7 left
+    lead1 = (prev != v).astype(I32)
+    r1 = reps - lead1
+    lead2 = (r1 == 7).astype(I32)
+    rn = r1 - lead2
+    tn, remn = rn // 6, rn % 6
+    kn = tn + (remn >= 3)
+    ln = jnp.where(remn >= 3, 0, remn)
+
+    lead = jnp.where(is0, 1, jnp.where(zero, leadz, lead1 + lead2))
+    k = jnp.where(is0, 0, jnp.where(zero, kz, kn))
+    ltr = jnp.where(is0, 0, jnp.where(zero, lz, ln))
+    t = jnp.where(zero, tz, tn)
+    rem = jnp.where(zero, remz, remn)
+    n_items = jnp.where(ridx < nruns[:, None], lead + k + ltr, 0)
+
+    off = jnp.cumsum(n_items, axis=1) - n_items                 # exclusive
+    M = off[:, -1] + n_items[:, -1]
+
+    # map item index -> run (scatter starts, forward-fill)
+    tgt = jnp.where((n_items > 0) & (ridx < nruns[:, None]), off, A32)
+    mark = jnp.zeros((P, A32 + 1), I32).at[rows, tgt].max(
+        ridx, mode="drop")[:, :A32]
+    run_of = jax.lax.cummax(mark, axis=1)
+    q = jnp.arange(A32, dtype=I32)[None, :] - jnp.take_along_axis(
+        off, run_of, axis=1)
+
+    def g(a):
+        return jnp.take_along_axis(a, run_of, axis=1)
+
+    vi, leadi, ki, ti, remi = g(v), g(lead), g(k), g(t), g(rem)
+    zi = vi == 0
+    in_code = (q >= leadi) & (q < leadi + ki)
+    codes = jnp.where(in_code, jnp.where(zi, 17, 16), vi)
+    extra = jnp.where(in_code,
+                      jnp.where(q - leadi < ti,
+                                jnp.where(zi, 7, 3), remi - 3), 0)
+    ewidth = jnp.where(in_code, jnp.where(zi, 3, 2), 0)
+    live = jnp.arange(A32, dtype=I32)[None, :] < M[:, None]
+    return (jnp.where(live, codes, 0), jnp.where(live, extra, 0),
+            jnp.where(live, ewidth, 0), M)
+
+
+def _choose_table(hist, total, A):
+    """Pick the cheapest storage mode per page like the reference encoder
+    (BrotligHuffman.cpp:262-363): <=1 used symbol -> trivial (symbols then
+    cost 0 bits), <=4 -> simple with the decoder's fixed length rows,
+    else complex. Returns (lens [P,A], mode [P] 0/1/2, emit_syms [P,4] in
+    (length, symbol) order, tsel [P], count [P])."""
+    P = hist.shape[0]
+    count = jnp.sum((hist > 0).astype(I32), axis=1)
+    lens_cplx = _lengths_from_hist(hist, total)
+
+    # used symbols ascending (padding A), their counts
+    symid = jnp.broadcast_to(jnp.arange(A, dtype=I32)[None, :], (P, A))
+    s4 = jnp.sort(jnp.where(hist > 0, symid, A), axis=1)[:, :4]
+    c4 = jnp.take_along_axis(hist, jnp.clip(s4, 0, A - 1), axis=1)
+    c4 = jnp.where(s4 < A, c4, 0)
+
+    # order the four by count desc (stable on symbol asc) for assignment
+    order = jnp.argsort(-c4, axis=1, stable=True)   # rank -> slot index
+    cd = jnp.take_along_axis(c4, order, axis=1)     # counts desc
+    # count==4: flat {2,2,2,2} vs skew {1,2,3,3} by actual coded bits
+    cost_flat = 2 * jnp.sum(cd, axis=1)
+    cost_skew = cd[:, 0] + 2 * cd[:, 1] + 3 * (cd[:, 2] + cd[:, 3])
+    tsel = ((count == 4) & (cost_skew < cost_flat)).astype(I32)
+    skew = jnp.asarray([1, 2, 3, 3], dtype=I32)
+    flat = jnp.asarray([2, 2, 2, 2], dtype=I32)
+    three = jnp.asarray([1, 2, 2, 0], dtype=I32)
+    two = jnp.asarray([1, 1, 0, 0], dtype=I32)
+    lens_by_rank = jnp.where(count[:, None] == 2, two[None, :],
+                             jnp.where(count[:, None] == 3, three[None, :],
+                                       jnp.where(tsel[:, None] == 1,
+                                                 skew[None, :],
+                                                 flat[None, :])))
+    rank_of_slot = jnp.argsort(order, axis=1)
+    len4 = jnp.take_along_axis(lens_by_rank, rank_of_slot, axis=1)
+    len4 = jnp.where(s4 < A, len4, 0)
+    rows = jnp.arange(P, dtype=I32)[:, None]
+    lens_simp = jnp.zeros((P, A + 1), I32).at[
+        rows, jnp.clip(s4, 0, A)].max(len4, mode="drop")[:, :A]
+
+    mode = jnp.where(count <= 1, 0, jnp.where(count <= 4, 1, 2))
+    lens = jnp.where(mode[:, None] == 0, 0,
+                     jnp.where(mode[:, None] == 1, lens_simp, lens_cplx))
+    # emission order: decoder assigns its fixed rows in listed order, and
+    # those rows are nondecreasing -> sort by (length, symbol)
+    ek = jnp.where(s4 < A, len4 * (A + 1) + s4, 16 * (A + 1) + A)
+    eord = jnp.argsort(ek, axis=1)
+    emit_syms = jnp.take_along_axis(s4, eord, axis=1)
+    emit_syms = jnp.where(emit_syms < A, emit_syms, 0)
+    return lens, mode, emit_syms, tsel, count
+
+
+def _table_block(mode, cl_lens, cl_codes, item_c, item_x, item_w, M,
+                 emit_syms, tsel, count, A):
+    """Emission slots for one table, per stream, all three storage modes.
+
+    Returns (nbits [P,32,K], vals [P,32,K]) with K = 2 + ceil(A/32):
+    [header, cl-lens/simple-syms, item_0.., item_k]. Streams advance
+    round-robin per serialized unit and reset per section, so unit j of a
+    section lands in stream j%32 (format/swizzle.py; huffman.py
+    build_and_store_table).
     """
     P = cl_lens.shape[0]
     kmax = (A + 31) // 32
+    max_bits = (A - 1).bit_length()
     s_idx = jnp.arange(32, dtype=I32)[None, :]
+    m_t = (mode == 0)[:, None]
+    m_s = (mode == 1)[:, None]
+    m_c = (mode == 2)[:, None]
     cols_n = []
     cols_v = []
-    # header: tree type 2 + (18-4) in 4 bits, stream 0 only
-    hdr_val = jnp.full((P, 32), 2 | ((18 - 4) << 2), I32)
-    cols_n.append(jnp.broadcast_to(jnp.where(s_idx == 0, 6, 0), (P, 32)))
-    cols_v.append(hdr_val)
-    # cl lengths, 5 bits each, streams 0..17, in CL_ORDER
+    # header column, stream 0 only. trivial: type0 + 4 pad bits + symbol;
+    # simple: type1 + (count-1) + 2 select bits + first symbol; complex:
+    # type2 + (18-4). (huffman.py:169-240)
+    hdr_t = (0 | (1 << 2)) | (emit_syms[:, 0] << 6)
+    hdr_s = (1 | (jnp.maximum(count - 1, 0) << 2) | (tsel << 4)
+             | (emit_syms[:, 0] << 6))
+    hdr_c = jnp.full((P,), 2 | ((18 - 4) << 2), I32)
+    hdr_v = jnp.where(mode == 0, hdr_t,
+                      jnp.where(mode == 1, hdr_s, hdr_c))
+    hdr_n = jnp.where(mode == 2, 6, 6 + max_bits)
+    cols_n.append(jnp.where(s_idx == 0, hdr_n[:, None], 0))
+    cols_v.append(jnp.broadcast_to(hdr_v[:, None], (P, 32)))
+    # second column: complex cl lengths (5 bits, streams 0..17, CL_ORDER);
+    # simple remaining symbols (max_bits, streams 1..count-1)
     order = jnp.asarray(CL_ORDER, dtype=I32)
     cl_at = jnp.take_along_axis(
         cl_lens, jnp.broadcast_to(order[None, :], (P, 18)), axis=1)
     cl_slot_v = jnp.concatenate([cl_at, jnp.zeros((P, 14), I32)], axis=1)
-    cols_n.append(jnp.broadcast_to(jnp.where(s_idx < 18, 5, 0), (P, 32)))
-    cols_v.append(cl_slot_v)
-    # items: symbol a = k*32 + s
+    sym_slot_v = jnp.concatenate(
+        [jnp.zeros((P, 1), I32), emit_syms[:, 1:4],
+         jnp.zeros((P, 28), I32)], axis=1)
+    n2 = jnp.where(m_c & (s_idx < 18), 5, 0)
+    n2 = jnp.where(m_s & (s_idx >= 1) & (s_idx < count[:, None]),
+                   max_bits, n2)
+    cols_n.append(n2)
+    cols_v.append(jnp.where(m_c, cl_slot_v, jnp.where(m_s, sym_slot_v, 0)))
+    # item columns (complex only): item j = k*32 + s, run-coded; the
+    # extra bits ride in the same stream slot as their code
+    cl_n_of = jnp.take_along_axis(cl_lens, jnp.clip(item_c, 0, 17), axis=1)
+    cl_v_of = jnp.take_along_axis(cl_codes, jnp.clip(item_c, 0, 17),
+                                  axis=1)
+    it_n = cl_n_of + item_w
+    it_v = cl_v_of | (item_x << jnp.minimum(cl_n_of, 15))
     for k in range(kmax):
-        a = k * 32 + s_idx  # [1,32] broadcast
-        a_ok = a < A
-        a_c = jnp.clip(a, 0, A - 1)
-        L = jnp.take_along_axis(sym_lens, jnp.broadcast_to(a_c, (P, 32)),
-                                axis=1)
-        n = jnp.take_along_axis(cl_lens, jnp.clip(L, 0, 17), axis=1)
-        v = jnp.take_along_axis(cl_codes, jnp.clip(L, 0, 17), axis=1)
-        cols_n.append(jnp.where(a_ok, n, 0))
-        cols_v.append(jnp.where(a_ok, v, 0))
+        j = k * 32 + s_idx
+        live = m_c & (j < M[:, None])
+        jc = jnp.clip(j, 0, item_c.shape[1] - 1)
+        cols_n.append(jnp.where(
+            live, jnp.take_along_axis(it_n, jnp.broadcast_to(
+                jc, (P, 32)), axis=1), 0))
+        cols_v.append(jnp.where(
+            live, jnp.take_along_axis(it_v, jnp.broadcast_to(
+                jc, (P, 32)), axis=1), 0))
     return (jnp.stack(cols_n, axis=2).astype(I32),
             jnp.stack(cols_v, axis=2).astype(I32))
 
@@ -355,7 +633,7 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
     """
     P, S = pages.shape
     N = ins.shape[1]
-    fields, ntotal, tail, has_tail = _build_fields(
+    fields, ntotal, tail, has_tail, h_np, h_ndist = _build_fields(
         pages, in_sizes, ins, cpy, dist, ncmds, max_cmds)
 
     # ---- histograms ----
@@ -396,18 +674,21 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
     n_lits = jnp.sum(hist_lit, axis=1)
     most_freq = jnp.argmax(hist_lit, axis=1).astype(I32)
 
-    # ---- code lengths + canonical codes ----
-    cmd_lens = _lengths_from_hist(hist_cmd, jnp.sum(hist_cmd, axis=1))
-    dst_lens = _lengths_from_hist(hist_dst, jnp.sum(hist_dst, axis=1))
-    lit_lens = _lengths_from_hist(hist_lit, n_lits)
+    # ---- storage mode + code lengths + canonical codes ----
+    cmd_lens, cmd_mode, cmd_es, cmd_ts, cmd_cnt = _choose_table(
+        hist_cmd, jnp.sum(hist_cmd, axis=1), A_CMD)
+    dst_lens, dst_mode, dst_es, dst_ts, dst_cnt = _choose_table(
+        hist_dst, jnp.sum(hist_dst, axis=1), A_DST)
+    lit_lens, lit_mode, lit_es, lit_ts, lit_cnt = _choose_table(
+        hist_lit, n_lits, A_LIT)
     cmd_codes, _ = _canonical_codes(cmd_lens)
     dst_codes, _ = _canonical_codes(dst_lens)
     lit_codes, _ = _canonical_codes(lit_lens)
 
-    # cl trees (depth <= 9): histogram of length VALUES over each alphabet
-    def cl_tree(sym_lens, A):
-        h = _histogram(sym_lens, jnp.ones_like(sym_lens, bool), 18)
-        L = _lengths_from_hist(h, jnp.asarray([A] * P, I32))
+    # cl trees (depth <= 9) over the run-coded item histograms
+    def cl_tree(item_c, item_live, M):
+        h = _histogram(item_c, item_live, 18)
+        L = _lengths_from_hist(h, M)
         L = jnp.minimum(L, 9)
         for _ in range(9):
             units = jnp.where(L > 0, jnp.int32(1) << (9 - L), 0)
@@ -416,17 +697,18 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
         codes, _ = _canonical_codes(L)
         return L, codes
 
-    cl_cmd_l, cl_cmd_c = cl_tree(cmd_lens, A_CMD)
-    cl_dst_l, cl_dst_c = cl_tree(dst_lens, A_DST)
-    cl_lit_l, cl_lit_c = cl_tree(lit_lens, A_LIT)
-
-    # ---- static table emission block ----
+    # ---- table emission block (mode-dependent, run-coded items) ----
     tb_n = []
     tb_v = []
-    for cl_l, cl_c, sy_l, A in ((cl_cmd_l, cl_cmd_c, cmd_lens, A_CMD),
-                                (cl_dst_l, cl_dst_c, dst_lens, A_DST),
-                                (cl_lit_l, cl_lit_c, lit_lens, A_LIT)):
-        n, v = _table_block(cl_l, cl_c, sy_l, A)
+    for md, sy_l, es, ts, cnt, A in (
+            (cmd_mode, cmd_lens, cmd_es, cmd_ts, cmd_cnt, A_CMD),
+            (dst_mode, dst_lens, dst_es, dst_ts, dst_cnt, A_DST),
+            (lit_mode, lit_lens, lit_es, lit_ts, lit_cnt, A_LIT)):
+        it_c, it_x, it_w, M = _rle_items(sy_l, A)
+        live = jnp.arange(it_c.shape[1], dtype=I32)[None, :] < M[:, None]
+        cl_l, cl_c = cl_tree(it_c, live, M)
+        n, v = _table_block(md, cl_l, cl_c, it_c, it_x, it_w, M,
+                            es, ts, cnt, A)
         tb_n.append(n)
         tb_v.append(v)
     table_n = jnp.concatenate(tb_n, axis=2)
@@ -626,9 +908,11 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
 
     zero = jnp.zeros((P,), I32)
     bo = zero
-    # page header byte LSB-first: npostfix(2)=0, ndist(4)=0, isdelta(1),
-    # reserved(1)=0 (format/constants.py:44-47)
-    hdr_byte0 = zero if isdelta is None else (isdelta.astype(I32) & 1) << 6
+    # page header byte LSB-first: npostfix(2), ndist(4), isdelta(1),
+    # reserved(1)=0 (format/constants.py:44-47); ndirect = ndist<<npostfix
+    hdr_byte0 = h_np | (h_ndist << 2)
+    if isdelta is not None:
+        hdr_byte0 = hdr_byte0 | ((isdelta.astype(I32) & 1) << 6)
     hdr_words, bo = hput(hdr_words, bo, jnp.full((P,), 8, I32), hdr_byte0)
     hdr_words, bo = hput(hdr_words, bo, base_bits, mn_sb)
     hdr_words, bo = hput(hdr_words, bo, dbs_bits, delta_bits)

@@ -71,6 +71,16 @@ class TestReferenceDecodesOurStreams:
         data = make_data("structured", 100_000, seed=4)
         assert ref_decode(encode_stream_tpu(data), tmp_path) == data
 
+    @pytest.mark.parametrize("kind,n", [
+        ("text", 150_000),        # complex tables, run-coded storage
+        ("repetitive", 80_000),   # simple/trivial tables
+        ("zeros", 131072),        # trivial literal table (0-bit symbols)
+    ])
+    def test_tpu_full_encoder(self, kind, n, tmp_path):
+        from brotlig_tpu.ops.encode_pack import encode_stream_tpu_full
+        data = make_data(kind, n, seed=n + 5)
+        assert ref_decode(encode_stream_tpu_full(data), tmp_path) == data
+
     def test_preconditioned(self, tmp_path):
         rng = np.random.default_rng(0)
         size = 128 * 128 * 8
