@@ -53,15 +53,74 @@ class TestFuzz:
             except (ValueError, NotImplementedError):
                 pass
 
-    def test_tpu_never_crashes(self, blob):
+    def test_tpu_never_crashes(self, blob, monkeypatch):
         from brotlig_tpu.ops.decode import decode_stream_jax
+        # Route through the XLA wavefront (the fuzz target is the shared
+        # host-side stream validation + decode robustness): corrupt
+        # payloads produce data-dependent bucket shapes, and each new
+        # shape costs ~20s of interpret-mode Pallas compile on CPU.
+        # A small pallas-route sample runs in test_tpu_pallas_route_fuzz.
+        monkeypatch.setenv("BLG_PALLAS", "0")
         rng = np.random.default_rng(2)
-        # fewer cases: each call is a device dispatch
-        for c in corruptions(blob, rng, 8):
+        # batch_pages=1 pins the batch shape: corrupted page counts and
+        # truncations then share one compiled program per words-bucket
+        for c in corruptions(blob, rng, 32):
             try:
-                decode_stream_jax(c)
+                decode_stream_jax(c, batch_pages=1)
             except (BrotligError, ValueError, IndexError):
                 pass
+
+    def test_tpu_pallas_route_fuzz(self, blob):
+        """A small deterministic corruption sample through the Pallas
+        route itself (payload-byte flips that survive header validation),
+        bounding interpret-mode compile count on CPU."""
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        for t, val in ((200, 0x00), (500, 0xFF), (1200, 0x55),
+                       (3000, 0xA5)):
+            b = bytearray(blob)
+            b[t] = val
+            try:
+                decode_stream_jax(bytes(b), batch_pages=4)
+            except (BrotligError, ValueError, IndexError):
+                pass
+
+    def test_tpu_targeted_header_corruptions(self, blob, monkeypatch):
+        """Deterministic high-value corruption targets for the TPU route:
+        stream header fields, page header byte, size-table region, and
+        the Huffman table area of page 0 (XLA route, see above)."""
+        from brotlig_tpu.format.headers import StreamHeader
+        from brotlig_tpu.ops.decode import decode_stream_jax
+        monkeypatch.setenv("BLG_PALLAS", "0")
+        payload0 = 8 + 4 * int.from_bytes(blob[2:4], "little")
+        # stream header bytes + page-0 header byte + Huffman table area.
+        # Deep-payload flips are covered by the random corruption tests
+        # above; here they would only force cold compiles of the max
+        # command-count bucket (a legal but otherwise-unreached shape
+        # that costs ~9 min of XLA CPU compile).
+        targets = (
+            list(range(0, 8))
+            + [payload0, payload0 + 1, payload0 + 2, payload0 + 5]
+        )
+        for t in targets:
+            for val in (0x00, 0xFF, 0x55):
+                b = bytearray(blob)
+                if t < len(b):
+                    b[t] = val
+                try:
+                    # corruptions that change only the claimed page size
+                    # are format-legal and would each cold-compile a new
+                    # shape-specialized program just to reinterpret the
+                    # same payload bits; payload corruptions at the true
+                    # page size cover the device paths without that cost
+                    hdr = StreamHeader.unpack(bytes(b[:8]))
+                    if hdr.page_size != 32768:
+                        continue
+                except BrotligError:
+                    pass  # header rejects — the cheap, valuable case
+                try:
+                    decode_stream_jax(bytes(b), batch_pages=1)
+                except (BrotligError, ValueError, IndexError):
+                    pass
 
 
 class TestPageTableValidation:
