@@ -135,7 +135,14 @@ outs = decode_archives(blobs, batch_pages=2, process=(pid, 2))
 open({str(tmp_path)!r} + f"/out_{{pid}}.pkl", "wb").write(
     pickle.dumps(outs))
 """)
-        procs = [subprocess.Popen([_sys.executable, str(worker), str(i)])
+        import os as _os
+        env = dict(_os.environ)
+        # no axon site: plugin init blocks when another process holds the
+        # single-client tunnel (same workaround as tests/conftest.py)
+        env["PYTHONPATH"] = C.__file__.rsplit('/brotlig_tpu/', 1)[0]
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i)],
+                                  env=env)
                  for i in range(2)]
         for p in procs:
             assert p.wait(timeout=500) == 0
