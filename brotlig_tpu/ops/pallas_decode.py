@@ -755,6 +755,227 @@ MAX_PB_B = 16                    # pages per phase-B block (VMEM budget):
                                  # overhead, so wider blocks amortize it
 
 
+def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
+                             cbucket: int, pb: int):
+    """512-byte-group sweep: 4x fewer loop iterations than the 128-byte
+    kernel (PERF.md round-2 projection - the bare-chip bottleneck is
+    per-iteration bookkeeping, not bytes). The group is held as
+    [4, pb, 128] so every gather stays lane-local (Mosaic's dynamic
+    indexing is per-128-lane row); cross-subchunk reads go through a
+    4-step subrow ladder."""
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    SUB = 4
+    CW = 512
+    ngrp = S // CW
+    WIN = 512                       # command-rank window per group; a
+                                    # group consumes <= CW/2+1 ranks
+
+    def kernel(st_ref, cst_ref, lst_ref, dst_ref, chs_ref,
+               lit_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
+        lane3 = jax.lax.broadcasted_iota(I32, (SUB, pb, 128), 2)
+        sub3 = jax.lax.broadcasted_iota(I32, (SUB, pb, 128), 0)
+        ncmd_pad = ncmdch * 128
+        nrec_pad = nrecch * 128
+
+        def sub_ladder(rows, idx):
+            """Gather rows[t][...] at idx (values 0..511): subrow t =
+            idx >> 7, lane = idx & 127. rows: list of 4 [pb,128]."""
+            out = jnp.zeros((SUB, pb, 128), I32)
+            t_of = idx >> 7
+            for t in range(SUB):
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(rows[t][None], (SUB, pb, 128)),
+                    idx & 127, axis=2)
+                out = jnp.where(t_of == t, g, out)
+            return out
+
+        def chunk_body(c, carry):
+            c0, lc0 = carry                      # [pb,1] per-page cursors
+            base = c * CW
+            pos = base + sub3 * 128 + lane3      # [4, pb, 128]
+
+            # command-field windows: WIN ranks starting at c0, as 4 rows
+            idxr = [jnp.clip(c0 + r * 128 + lane, 0, ncmd_pad - 1)
+                    for r in range(WIN // 128)]
+            kmin = jnp.min(idxr[0]) >> 7
+            kmax = jnp.max(idxr[-1]) >> 7
+
+            def wbody(k, acc):
+                out = []
+                for ref, rows in zip((st_ref, cst_ref, lst_ref, dst_ref),
+                                     acc):
+                    ch = ref[k]
+                    out.append(tuple(
+                        jnp.where((idxr[r] >> 7) == k,
+                                  jnp.take_along_axis(ch, idxr[r] & 127,
+                                                      axis=1), rows[r])
+                        for r in range(WIN // 128)))
+                return tuple(out)
+
+            zrows = tuple(jnp.zeros((pb, 128), I32)
+                          for _ in range(WIN // 128))
+            w_st, w_cst, w_lst, w_dst = jax.lax.fori_loop(
+                kmin, kmax + 1, wbody, (zrows,) * 4)
+
+            # per-lane binary search: largest rank with start <= pos
+            lo = jnp.zeros((SUB, pb, 128), I32)
+            for step in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+                probe = lo + step
+                sp = sub_ladder(w_st, jnp.clip(probe, 0, WIN - 1))
+                lo = jnp.where((probe <= WIN - 1) & (sp <= pos), probe, lo)
+            rel = lo
+
+            st_l = sub_ladder(w_st, rel)
+            cst_l = sub_ladder(w_cst, rel)
+            lst_l = sub_ladder(w_lst, rel)
+            dst_l = sub_ladder(w_dst, rel)
+
+            in_ins = pos < cst_l
+            lit_id = jnp.clip(lst_l + (pos - st_l), 0, cbucket * 128 - 1)
+            d = jnp.maximum(dst_l, 1)
+            a = jnp.maximum(pos - cst_l, 0)
+            q = jnp.floor(a.astype(jnp.float32)
+                          / d.astype(jnp.float32)).astype(I32)
+            r = a - q * d
+            r = jnp.where(r < 0, r + d, r)
+            r = jnp.where(r >= d, r - d, r)
+            srcc = jnp.clip(cst_l - d + r, 0, S - 1)
+            src = jnp.where(in_ins, S + lit_id, srcc)
+
+            # in-group chains: 9 rounds of map doubling over 512 bytes
+            for _ in range(9):
+                off = src - base
+                ingrp = (off >= 0) & (off < CW)
+                nxt = sub_ladder([src[t] for t in range(SUB)],
+                                 jnp.clip(off, 0, CW - 1))
+                src = jnp.where(ingrp, nxt, src)
+
+            is_lit = src >= S
+            lid = jnp.where(is_lit, src - S, 0)
+            byte = jnp.zeros((SUB, pb, 128), I32)
+
+            # literal id -> slot record (windowed search, per-page cursor)
+            def lit_search(carry):
+                cov, start_of, pend, lc, t = carry
+                on = pend != 0
+                widx0 = jnp.clip(lc + t * 255 + lane, 0, nrec_pad - 1)
+                widx1 = jnp.clip(lc + t * 255 + 128 + lane, 0,
+                                 nrec_pad - 1)
+                rkmin = jnp.min(widx0) >> 7
+                rkmax = jnp.max(widx1) >> 7
+
+                def rbody(k, acc):
+                    a0, a1 = acc
+                    ch = chs_ref[k]
+                    g0 = jnp.take_along_axis(ch, widx0 & 127, axis=1)
+                    g1 = jnp.take_along_axis(ch, widx1 & 127, axis=1)
+                    return (jnp.where((widx0 >> 7) == k, g0, a0),
+                            jnp.where((widx1 >> 7) == k, g1, a1))
+
+                rw0, rw1 = jax.lax.fori_loop(
+                    rkmin, rkmax + 1, rbody,
+                    (jnp.zeros((pb, 128), I32),
+                     jnp.zeros((pb, 128), I32)))
+                rw0b = jnp.broadcast_to(rw0[None], (SUB, pb, 128))
+                rw1b = jnp.broadcast_to(rw1[None], (SUB, pb, 128))
+
+                ll = jnp.zeros((SUB, pb, 128), I32)
+                for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                    pr = ll + step
+                    prc = jnp.clip(pr, 0, 255)
+                    v = jnp.where(
+                        prc < 128,
+                        jnp.take_along_axis(rw0b, prc & 127, axis=2),
+                        jnp.take_along_axis(rw1b, prc & 127, axis=2))
+                    ll = jnp.where((pr <= 255) & (v <= lid), pr, ll)
+                sv = jnp.where(
+                    ll < 128,
+                    jnp.take_along_axis(rw0b, ll & 127, axis=2),
+                    jnp.take_along_axis(rw1b, jnp.clip(ll - 128, 0, 127),
+                                        axis=2))
+                ok = on & (ll < 255)
+                cov = jnp.where(ok, lc + t * 255 + ll, cov)
+                start_of = jnp.where(ok, sv, start_of)
+                return (cov, start_of, jnp.where(ok, 0, pend), lc, t + 1)
+
+            zero = jnp.zeros((SUB, pb, 128), I32)
+            cov, start_of, _, _, _ = jax.lax.while_loop(
+                lambda car: jnp.max(car[2]) > 0, lit_search,
+                (zero, zero, is_lit.astype(I32), lc0, jnp.int32(0)))
+            cov = jnp.clip(cov, 0, cbucket - 1)
+            off_l = jnp.clip(lid - start_of, 0, 127)
+            lc0 = jnp.max(jnp.where(is_lit, cov, lc0),
+                          axis=(0, 2))[:, None]
+
+            # literal fetch: distinct packed-slot chunks only
+            cb4 = (cbucket + 3) // 4
+            lwch = cov >> 2
+            llane = off_l
+            lbyte = (cov & 3) << 3
+
+            def lbody(carry):
+                byte, pend = carry
+                on = pend != 0
+                k = jnp.min(jnp.where(on, lwch, cb4))
+                row = lit_ref[jnp.clip(k, 0, cb4 - 1)]
+                w_ = jnp.take_along_axis(
+                    jnp.broadcast_to(row[None], (SUB, pb, 128)),
+                    llane, axis=2)
+                g = (w_ >> lbyte) & 255
+                hit = on & (lwch == k)
+                return (jnp.where(hit, g, byte), jnp.where(hit, 0, pend))
+
+            byte, _ = jax.lax.while_loop(
+                lambda cr: jnp.max(cr[1]) > 0, lbody,
+                (byte, is_lit.astype(I32)))
+
+            # copy fetch from the packed output rows
+            csel = jnp.where(is_lit, 0, jnp.clip(src, 0, S - 1))
+            cwch = csel >> 9
+            clane = (csel >> 2) & 127
+            cbyte = (csel & 3) << 3
+
+            def cbody(carry):
+                byte, pend = carry
+                on = pend != 0
+                k = jnp.min(jnp.where(on, cwch, ngrp))
+                row = out_ref[jnp.clip(k, 0, ngrp - 1)]
+                w_ = jnp.take_along_axis(
+                    jnp.broadcast_to(row[None], (SUB, pb, 128)),
+                    clane, axis=2)
+                g = (w_ >> cbyte) & 255
+                hit = on & (cwch == k)
+                return (jnp.where(hit, g, byte), jnp.where(hit, 0, pend))
+
+            byte, _ = jax.lax.while_loop(
+                lambda cr: jnp.max(cr[1]) > 0, cbody,
+                (byte, (~is_lit).astype(I32)))
+
+            # pack the group's 512 bytes into one 128-word output row:
+            # word w <- bytes 4w..4w+3 = subrow w>>5, lanes 4*(w&31)+t
+            pk = jnp.zeros((pb, 128), I32)
+            for s in range(SUB):
+                part = jnp.zeros((pb, 128), I32)
+                for t in range(4):
+                    g = jnp.take_along_axis(
+                        byte[s], jnp.clip(4 * (lane & 31) + t, 0, 127),
+                        axis=1)
+                    part = part | (g << (8 * t))
+                pk = jnp.where((lane >> 5) == s, part, pk)
+            out_ref[pl.ds(c, 1)] = pk[None]
+
+            return (jnp.max(c0 + rel, axis=(0, 2))[:, None], lc0)
+
+        jax.lax.fori_loop(0, ngrp, chunk_body,
+                          (jnp.zeros((pb, 1), I32),
+                           jnp.zeros((pb, 1), I32)))
+
+    return kernel
+
+
 def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
                         cbucket: int, pb: int):
     from jax.experimental import pallas as pl  # noqa: F401
@@ -1081,7 +1302,13 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
     dst3 = _to_chunk_major(dist, ncmdch)
     recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
 
-    kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
+    # default stays the 128-byte kernel until the wide one is validated
+    # through Mosaic on real hardware (interpret mode accepts a superset)
+    if os.environ.get("BLG_SWEEP_CW", "128") == "512" and S % 512 == 0:
+        kernel = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
+                                          cbucket, pb)
+    else:
+        kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
 
     def vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

@@ -82,6 +82,18 @@ class TestPallasPhaseA:
         for p, (_, d) in enumerate(keep):
             assert out[p, : len(d)].tobytes() == d
 
+    def test_end_to_end_decode_wide_sweep(self, mixed_batch, monkeypatch):
+        """The 512-byte-group phase-B kernel (BLG_SWEEP_CW=512 opt-in
+        until Mosaic-validated on hardware) must agree byte-for-byte."""
+        monkeypatch.setenv("BLG_SWEEP_CW", "512")
+        n, keep, words, sizes = mixed_batch
+        s_hint = PD.stream_words_hint([c for c, _ in keep])
+        out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
+                                 w_hint=None, s_hint=s_hint)
+        out = np.asarray(out)
+        for p, (_, d) in enumerate(keep):
+            assert out[p, : len(d)].tobytes() == d
+
 
 def test_stream_words_hint_covers_actual_layout():
     # the hint must bound the per-stream word cursor reach for every page
