@@ -38,7 +38,9 @@ MIN_MATCH = 4
 # quality/speed knob: nearest same-hash predecessors probed per position.
 # Measured on the text corpus (hybrid path): K=2 -> 4.50x, 4 -> 4.70x,
 # 8 -> 4.99x (native q11 chain search: 6.02x); cost is ~linear in K.
-NUM_CANDIDATES = int(_os.environ.get("BLG_CANDS", "4"))
+# Default 8 since round 2: the reference point is q11 (quality-first),
+# and K=8 closes the device-full text gap by 5.8% (86284 -> 81308 B).
+NUM_CANDIDATES = int(_os.environ.get("BLG_CANDS", "8"))
 EXT_ROUNDS = 3                # contiguous LCP cap = EXT_ROUNDS * 64 bytes
                               # (longer matches chain in log depth below)
 
