@@ -991,18 +991,6 @@ def make_phase_b_kernel(S: int, nch: int, ncmdch: int, nrecch: int,
         lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
         ncmd_pad = ncmdch * 128
 
-        def gather_window(ref, idxc):
-            """Ladder-gather ref[NCMDCH, pb, 128] at clustered indices."""
-            kmin = jnp.min(idxc) >> 7
-            kmax = jnp.max(idxc) >> 7
-
-            def body(k, acc):
-                g = jnp.take_along_axis(ref[k], idxc & 127, axis=1)
-                return jnp.where((idxc >> 7) == k, g, acc)
-
-            return jax.lax.fori_loop(kmin, kmax + 1, body,
-                                     jnp.zeros((pb, 128), I32))
-
         def chunk_body(c, carry):
             c0, lc0 = carry
             base = c * 128
