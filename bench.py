@@ -16,10 +16,17 @@ block_until_ready, which on the axon backend can return early (PERF.md).
 import json
 import os
 import pickle
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Hard watchdog: if the tunneled-TPU relay is down, backend INIT blocks
+# forever inside C code where no Python timeout can fire; SIGALRM's
+# default action terminates the process even there. Generous budget:
+# corpus build + several multi-minute tunnel compiles.
+signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
 
 import numpy as np
 
