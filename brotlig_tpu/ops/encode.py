@@ -113,9 +113,13 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
     inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
 
     cap = 4 * MAX_MATCH_WORDS
-    best_len = jnp.zeros((P, S), I32)
-    best_dist = jnp.zeros((P, S), I32)
-    for k in range(1, NUM_CANDIDATES + 1):
+
+    # candidate loop as fori_loop, not unrolled: at K=8 the unrolled
+    # program is large enough that XLA:CPU's executable serializer
+    # segfaults writing the persistent cache, and compiles take minutes;
+    # the rolled body is identical math (k only shifts the probed rank)
+    def cand_body(k, carry):
+        best_len, best_dist = carry
         prev_rank = jnp.maximum(inv - k, 0)
         same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
         cand = jnp.take_along_axis(order, prev_rank, axis=1)
@@ -129,8 +133,12 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
                               limit)
             ml = ml + jnp.where(capped, more, 0)
         better = ml > best_len
-        best_len = jnp.where(better, ml, best_len)
-        best_dist = jnp.where(better, iota - cand, best_dist)
+        return (jnp.where(better, ml, best_len),
+                jnp.where(better, iota - cand, best_dist))
+
+    best_len, best_dist = jax.lax.fori_loop(
+        1, NUM_CANDIDATES + 1, cand_body,
+        (jnp.zeros((P, S), I32), jnp.zeros((P, S), I32)))
 
     # distance-1 runs: exact lengths (uncapped) for byte repeats
     b = pages.astype(I32)
