@@ -18,12 +18,15 @@ max_compressed_size = C.max_compressed_size
 def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
            dc_params: DataConditionParams | None = None,
            max_chain: int = 64, feedback=None,
-           backend: str = "auto") -> bytes:
+           backend: str = "auto", quality: int = 11) -> bytes:
     """Compress a Brotli-G container.
 
     backend: "cpu" (native C++ page-parallel encoder, best ratio),
     "tpu" (device bulk match finding + native serialization), "tpu-full"
     (match finding AND serialization on device), or "auto" (cpu).
+    quality >= 10 selects the optimal-parse tier (native two-pass DP /
+    device windowed DP); lower values use the greedy parse. The "tpu"
+    hybrid always parses greedily (its serializer is the native packer).
     `feedback(type, text) -> bool` mirrors BROTLIG_Feedback_Proc; returning
     True aborts (errors.Aborted) on every backend: the native pool calls it
     per encoded page, the device paths per page batch.
@@ -36,7 +39,8 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
             from .ops.encode_pack import encode_stream_tpu_full
             return encode_stream_tpu_full(data, page_size=page_size,
                                           dc_params=dc_params,
-                                          feedback=feedback)
+                                          feedback=feedback,
+                                          quality=quality)
         from .ops.encode import encode_stream_tpu
         return encode_stream_tpu(data, page_size=page_size,
                                  dc_params=dc_params, feedback=feedback)
@@ -46,7 +50,7 @@ def encode(data: bytes, page_size: int = C.DEFAULT_PAGE_SIZE,
             from . import native
             if native.available() and native.has_encoder():
                 return native.encode(data, page_size=page_size,
-                                     feedback=feedback)
+                                     quality=quality, feedback=feedback)
         except Aborted:
             raise
         except Exception:

@@ -66,8 +66,8 @@ def _ctz_bytes(x: jnp.ndarray) -> jnp.ndarray:
             + b3.astype(I32))
 
 
-def _match_len(quads, pos, cand, limit):
-    """LCP of the suffixes at pos/cand in bytes, capped at 4*MAX_MATCH_WORDS.
+def _match_len(quads, pos, cand, limit, words: int = MAX_MATCH_WORDS):
+    """LCP of the suffixes at pos/cand in bytes, capped at 4*words.
 
     quads: [P, S]; pos/cand: [P, S] int32 (cand < pos; cand = -1 -> 0).
     limit: [P, 1] page sizes.
@@ -76,7 +76,7 @@ def _match_len(quads, pos, cand, limit):
     valid = cand >= 0
     ml = jnp.zeros_like(pos)
     still = valid
-    for w in range(MAX_MATCH_WORDS):
+    for w in range(words):
         qa = jnp.take_along_axis(quads, jnp.clip(pos + 4 * w, 0, S - 1),
                                  axis=1)
         qb = jnp.take_along_axis(quads, jnp.clip(cand + 4 * w, 0, S - 1),
@@ -89,56 +89,96 @@ def _match_len(quads, pos, cand, limit):
     return jnp.where(valid, ml, 0)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
-    """Bulk-greedy LZ77 over a batch of pages.
+NUM_NEAR = 3        # 4-byte-key candidates exported to the DP parse
+NUM_CANDIDATES_8 = 4  # nearest probes in the 8-byte-key family
+NUM_NEAR_8 = 2      # 8-byte-key candidates exported to the DP parse
 
-    pages: uint8 [P, S]; in_sizes: int32 [P].
-    Returns (ins, cpy, dist [P, max_cmds] int32, ncmds [P]) — commands cover
-    a prefix of each page; the remaining tail is the caller's insert-only
-    command.
+
+def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
+    """Shared match scan: longest candidate per position (with run-1 and
+    log-depth chain extension) plus the NUM_NEAR nearest-predecessor
+    candidates.
+
+    Returns (best_len, best_dist, near_len, near_dist) with near_* shaped
+    [P, S, NUM_NEAR] — the k=1..NUM_NEAR (smallest-distance first)
+    candidates before the best fold. The DP parse (ops/parse_dp.py)
+    relaxes all of them as alternatives (a nearer occurrence has a
+    cheaper distance symbol even when shorter); greedy uses only `best`
+    (XLA dead-code-eliminates `near` there).
     """
     P, S = pages.shape
     limit = in_sizes[:, None]
     iota = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
 
     quads = _quads(pages)
-    h = ((quads * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(I32)
-    # kill positions whose 4-byte window crosses the page end
-    h = jnp.where(iota + MIN_MATCH <= limit, h, (1 << HASH_BITS) + (iota & 0xFF))
-
-    # stable sort by hash groups positions; within a group, ascending pos
-    order = jnp.argsort(h, axis=1, stable=True).astype(I32)
-    h_sorted = jnp.take_along_axis(h, order, axis=1)
-    inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
-
     cap = 4 * MAX_MATCH_WORDS
 
-    # candidate loop as fori_loop, not unrolled: at K=8 the unrolled
-    # program is large enough that XLA:CPU's executable serializer
-    # segfaults writing the persistent cache, and compiles take minutes;
-    # the rolled body is identical math (k only shifts the probed rank)
-    def cand_body(k, carry):
-        best_len, best_dist = carry
-        prev_rank = jnp.maximum(inv - k, 0)
-        same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
-        cand = jnp.take_along_axis(order, prev_rank, axis=1)
-        cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
-        ml = _match_len(quads, iota, cand, limit)
-        # extend fully-capped matches by further cap-sized blocks
-        for ext in range(1, EXT_ROUNDS):
-            capped = (ml == ext * cap) & (cand >= 0)
-            more = _match_len(quads, iota + ext * cap,
-                              jnp.where(capped, cand + ext * cap, -1),
-                              limit)
-            ml = ml + jnp.where(capped, more, 0)
-        better = ml > best_len
-        return (jnp.where(better, ml, best_len),
-                jnp.where(better, iota - cand, best_dist))
+    def probe_family(h, nprobe, nnear):
+        """Probe the `nprobe` nearest same-hash predecessors of every
+        position; returns (best_len, best_dist, near_len, near_dist) with
+        near_* capturing probes 1..nnear (smallest distance first).
 
-    best_len, best_dist = jax.lax.fori_loop(
-        1, NUM_CANDIDATES + 1, cand_body,
-        (jnp.zeros((P, S), I32), jnp.zeros((P, S), I32)))
+        The candidate loop is a fori_loop, not unrolled: at nprobe=8 the
+        unrolled program is large enough that XLA:CPU's executable
+        serializer segfaults writing the persistent cache, and compiles
+        take minutes; the rolled body is identical math (k only shifts
+        the probed rank)."""
+        # stable sort by hash groups positions; within a group, asc. pos
+        order = jnp.argsort(h, axis=1, stable=True).astype(I32)
+        h_sorted = jnp.take_along_axis(h, order, axis=1)
+        inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
+
+        def cand_body(k, carry):
+            best_len, best_dist, near_len, near_dist = carry
+            prev_rank = jnp.maximum(inv - k, 0)
+            same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
+            cand = jnp.take_along_axis(order, prev_rank, axis=1)
+            cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
+            ml = _match_len(quads, iota, cand, limit)
+            # extend fully-capped matches by further cap-sized blocks
+            for ext in range(1, EXT_ROUNDS):
+                capped = (ml == ext * cap) & (cand >= 0)
+                more = _match_len(quads, iota + ext * cap,
+                                  jnp.where(capped, cand + ext * cap, -1),
+                                  limit)
+                ml = ml + jnp.where(capped, more, 0)
+            better = ml > best_len
+            take = (k == 1 + jnp.arange(nnear, dtype=I32))[None, None, :]
+            near_len = jnp.where(take, ml[:, :, None], near_len)
+            near_dist = jnp.where(take & (ml[:, :, None] > 0),
+                                  (iota - cand)[:, :, None], near_dist)
+            return (jnp.where(better, ml, best_len),
+                    jnp.where(better, iota - cand, best_dist),
+                    near_len, near_dist)
+
+        return jax.lax.fori_loop(
+            1, nprobe + 1, cand_body,
+            (jnp.zeros((P, S), I32), jnp.zeros((P, S), I32),
+             jnp.zeros((P, S, nnear), I32), jnp.zeros((P, S, nnear), I32)))
+
+    # family 1: 4-byte keys — dense groups, nearest occurrences
+    h4 = ((quads * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(I32)
+    h4 = jnp.where(iota + MIN_MATCH <= limit, h4,
+                   (1 << HASH_BITS) + (iota & 0xFF))
+    best_len, best_dist, near_len, near_dist = probe_family(
+        h4, NUM_CANDIDATES, NUM_NEAR)
+
+    # family 2: 8-byte keys — sparse groups whose nearest members reach
+    # far back, standing in for the reference's 256-deep hash chains
+    # (PageEncoder.cpp's HQ Zopfli hasher) at log-sort cost
+    q_hi = jnp.concatenate(
+        [quads[:, 4:], jnp.zeros((P, 4), jnp.uint32)], axis=1)
+    h8 = (((quads * HASH_MUL) ^ (q_hi * np.uint32(0x9E3779B1)))
+          >> np.uint32(32 - HASH_BITS)).astype(I32)
+    h8 = jnp.where(iota + 8 <= limit, h8,
+                   (1 << HASH_BITS) + (iota & 0xFF))
+    b8_len, b8_dist, n8_len, n8_dist = probe_family(
+        h8, NUM_CANDIDATES_8, NUM_NEAR_8)
+    far_better = b8_len > best_len
+    best_len = jnp.where(far_better, b8_len, best_len)
+    best_dist = jnp.where(far_better, b8_dist, best_dist)
+    near_len = jnp.concatenate([near_len, n8_len], axis=2)
+    near_dist = jnp.concatenate([near_dist, n8_dist], axis=2)
 
     # distance-1 runs: exact lengths (uncapped) for byte repeats
     b = pages.astype(I32)
@@ -181,6 +221,40 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
     chained = cnt > 0
     best_len = jnp.where(chained, ext_len, best_len)
     best_len = jnp.minimum(best_len, jnp.maximum(limit - iota, 0))
+    near_len = jnp.minimum(near_len,
+                           jnp.maximum(limit - iota, 0)[:, :, None])
+    return best_len, best_dist, near_len, near_dist
+
+
+@partial(jax.jit, static_argnums=(2,))
+def find_candidates(pages: jnp.ndarray, in_sizes: jnp.ndarray, cap: int):
+    """Per-position match candidates for the DP parse: slot 0 = longest,
+    slots 1..NUM_NEAR = nearest predecessors (smallest distance first).
+    Lengths clipped to `cap` (the DP's relaxation window). Returns
+    (cand_len, cand_dist) [P, S, 1 + NUM_NEAR] int32."""
+    best_len, best_dist, near_len, near_dist = _scan_matches(pages, in_sizes)
+    cand_len = jnp.concatenate(
+        [jnp.minimum(best_len, cap)[:, :, None],
+         jnp.minimum(near_len, cap)], axis=2)
+    cand_dist = jnp.concatenate(
+        [best_dist[:, :, None], near_dist], axis=2)
+    cand_len = jnp.where(cand_len >= MIN_MATCH, cand_len, 0)
+    return cand_len, cand_dist
+
+
+@partial(jax.jit, static_argnums=(2,))
+def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
+    """Bulk-greedy LZ77 over a batch of pages.
+
+    pages: uint8 [P, S]; in_sizes: int32 [P].
+    Returns (ins, cpy, dist [P, max_cmds] int32, ncmds [P]) — commands cover
+    a prefix of each page; the remaining tail is the caller's insert-only
+    command.
+    """
+    P, S = pages.shape
+    limit = in_sizes[:, None]
+    iota = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
+    best_len, best_dist, _, _ = _scan_matches(pages, in_sizes)
 
     # (measured: brotli-style distance gates and 1-byte lazy matching both
     # LOWER the packed ratio here — the native packer's entropy coding

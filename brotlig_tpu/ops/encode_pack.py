@@ -164,6 +164,68 @@ def _encode_distance_vec(d, npostfix, ndirect):
     return sym, nb, extra
 
 
+def ins_code_vec(v):
+    """Insert-length code (RFC 7932 table; format/lut.py), vectorized."""
+    r = jnp.where(v < 6, v, 0)
+    nb = jnp.zeros_like(v)
+    x2 = jnp.maximum(v - 2, 1)
+    for s in (16, 8, 4, 2, 1):
+        take = (x2 >> s) > 0
+        nb = nb + jnp.where(take, s, 0)
+        x2 = jnp.where(take, x2 >> s, x2)
+    nb = nb + (x2 > 0) - 2
+    mid = (nb << 1) + ((jnp.maximum(v - 2, 0)) >> jnp.maximum(nb, 0)) + 2
+    nb2 = jnp.zeros_like(v)
+    x3 = jnp.maximum(v - 66, 1)
+    for s in (16, 8, 4, 2, 1):
+        take = (x3 >> s) > 0
+        nb2 = nb2 + jnp.where(take, s, 0)
+        x3 = jnp.where(take, x3 >> s, x3)
+    nb2 = nb2 + (x3 > 0)
+    hi = nb2 + 9
+    return jnp.where(v < 6, r,
+                     jnp.where(v < 130, mid,
+                               jnp.where(v < 2114, hi,
+                                         jnp.where(v < 6210, 21,
+                                                   jnp.where(v < 22594, 22,
+                                                             23)))))
+
+
+def cpy_code_vec(v):
+    """Copy-length code (RFC 7932 table; format/lut.py), vectorized."""
+    nb = jnp.zeros_like(v)
+    x2 = jnp.maximum(v - 6, 1)
+    for s in (16, 8, 4, 2, 1):
+        take = (x2 >> s) > 0
+        nb = nb + jnp.where(take, s, 0)
+        x2 = jnp.where(take, x2 >> s, x2)
+    nb = nb + (x2 > 0) - 2
+    mid = (nb << 1) + ((jnp.maximum(v - 6, 0)) >> jnp.maximum(nb, 0)) + 4
+    nb2 = jnp.zeros_like(v)
+    x3 = jnp.maximum(v - 70, 1)
+    for s in (16, 8, 4, 2, 1):
+        take = (x3 >> s) > 0
+        nb2 = nb2 + jnp.where(take, s, 0)
+        x3 = jnp.where(take, x3 >> s, x3)
+    nb2 = nb2 + (x3 > 0)
+    hi = nb2 + 11
+    return jnp.where(v < 10, jnp.maximum(v - 2, 0),
+                     jnp.where(v < 134, mid,
+                               jnp.where(v < 2118, hi, 23)))
+
+
+def combine_codes_vec(ic, cc, use_last):
+    """CombineLengthCodes (format/lut.py) vector form: the joint command
+    prefix symbol for insert code `ic`, copy code `cc`, implicit-ring0
+    flag `use_last` (bool array)."""
+    bits64 = (cc & 7) | ((ic & 7) << 3)
+    cell = 2 * ((cc >> 3) + 3 * (ic >> 3))
+    off = (cell << 5) + 0x40 + ((0x520D40 >> jnp.clip(cell, 0, 20)) & 0xC0)
+    prefix_nl = off | bits64
+    prefix_l = jnp.where(cc < 8, bits64, bits64 | 64)
+    return jnp.where(use_last, prefix_l, prefix_nl)
+
+
 def _ring_before(dist, valid):
     """Exact distance-ring state before each command, vectorized.
 
@@ -290,65 +352,10 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
     dnbits = jnp.where(use_ring, 0, dnb_l)
     dextra = jnp.where(use_ring, 0, dx_l)
 
-    inscode = jnp.zeros((P, N), I32)
-    # insert length code via arith (vector helper mirrors lut tables)
-    def ins_code(v):
-        r = jnp.where(v < 6, v, 0)
-        nb = jnp.zeros_like(v)
-        x2 = jnp.maximum(v - 2, 1)
-        for s in (16, 8, 4, 2, 1):
-            take = (x2 >> s) > 0
-            nb = nb + jnp.where(take, s, 0)
-            x2 = jnp.where(take, x2 >> s, x2)
-        nb = nb + (x2 > 0) - 2
-        mid = (nb << 1) + ((jnp.maximum(v - 2, 0)) >> jnp.maximum(nb, 0)) + 2
-        nb2 = jnp.zeros_like(v)
-        x3 = jnp.maximum(v - 66, 1)
-        for s in (16, 8, 4, 2, 1):
-            take = (x3 >> s) > 0
-            nb2 = nb2 + jnp.where(take, s, 0)
-            x3 = jnp.where(take, x3 >> s, x3)
-        nb2 = nb2 + (x3 > 0)
-        hi = nb2 + 9
-        r = jnp.where(v < 6, v,
-                      jnp.where(v < 130, mid,
-                                jnp.where(v < 2114, hi,
-                                          jnp.where(v < 6210, 21,
-                                                    jnp.where(v < 22594, 22,
-                                                              23)))))
-        return r
-
-    def cpy_code(v):
-        nb = jnp.zeros_like(v)
-        x2 = jnp.maximum(v - 6, 1)
-        for s in (16, 8, 4, 2, 1):
-            take = (x2 >> s) > 0
-            nb = nb + jnp.where(take, s, 0)
-            x2 = jnp.where(take, x2 >> s, x2)
-        nb = nb + (x2 > 0) - 2
-        mid = (nb << 1) + ((jnp.maximum(v - 6, 0)) >> jnp.maximum(nb, 0)) + 4
-        nb2 = jnp.zeros_like(v)
-        x3 = jnp.maximum(v - 70, 1)
-        for s in (16, 8, 4, 2, 1):
-            take = (x3 >> s) > 0
-            nb2 = nb2 + jnp.where(take, s, 0)
-            x3 = jnp.where(take, x3 >> s, x3)
-        nb2 = nb2 + (x3 > 0)
-        hi = nb2 + 11
-        return jnp.where(v < 10, jnp.maximum(v - 2, 0),
-                         jnp.where(v < 134, mid,
-                                   jnp.where(v < 2118, hi, 23)))
-
-    ic = ins_code(ins)
-    cc = cpy_code(cpy)
+    ic = ins_code_vec(ins)
+    cc = cpy_code_vec(cpy)
     use_last = code0 & (ic < 8) & (cc < 16)
-    # combine (vector form of CombineLengthCodes)
-    bits64 = (cc & 7) | ((ic & 7) << 3)
-    cell = 2 * ((cc >> 3) + 3 * (ic >> 3))
-    off = (cell << 5) + 0x40 + ((0x520D40 >> jnp.clip(cell, 0, 20)) & 0xC0)
-    prefix_nl = off | bits64
-    prefix_l = jnp.where(cc < 8, bits64, bits64 | 64)
-    prefix = jnp.where(use_last, prefix_l, prefix_nl)
+    prefix = combine_codes_vec(ic, cc, use_last)
     store_dist = valid & ~use_last
 
     ins_bits = arith_lut.insert_extra(ic)
@@ -361,7 +368,7 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
     # tail insert-only command + sentinel, represented virtually: command
     # slot t maps to (t < ncmds: array column t), (t == ncmds & has_tail:
     # the tail command), else the sentinel — see cmd_field()
-    tail_code = ins_code(tail[:, None])[:, 0]
+    tail_code = ins_code_vec(tail[:, None])[:, 0]
     has_tail = tail > 0
     ntotal = ncmds + 1 + has_tail.astype(I32)
 
@@ -956,8 +963,13 @@ def _pack_jit(pages, in_sizes, page_size, max_cmds, ins, cpy, dist, ncmds,
 
 
 def encode_pages_device(pages_np, in_sizes_np, page_size: int,
-                        isdelta_np=None, raw_pages_np=None):
+                        isdelta_np=None, raw_pages_np=None,
+                        quality: int = 11):
     """Device end-to-end page encode: bulk matcher + device serializer.
+
+    quality >= 10 adds the windowed-DP optimal parse (ops/parse_dp.py)
+    and keeps the smaller of greedy/DP per page — the device analog of
+    the native q11 best-of (brotlig_encode.cpp::EncodePage).
 
     Returns a list of page blobs: the compressed page, or the raw page
     bytes when not smaller. For preconditioned streams pages_np holds the
@@ -968,14 +980,24 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
     max_cmds = page_size // 4 + 16   # every command copies >= MIN_MATCH=4
     pages = jnp.asarray(pages_np)
     in_sizes = jnp.asarray(in_sizes_np)
-    ins, cpy, dist, ncmds = find_commands(pages, in_sizes, max_cmds)
+    greedy = find_commands(pages, in_sizes, max_cmds)
     if isdelta_np is None:
         isdelta_np = np.zeros(pages_np.shape[0], dtype=np.int32)
+    isdelta = jnp.asarray(isdelta_np, dtype=jnp.int32)
     out, sizes = _pack_jit(pages, in_sizes, page_size, max_cmds,
-                           ins, cpy, dist, ncmds,
-                           jnp.asarray(isdelta_np, dtype=jnp.int32))
+                           *greedy, isdelta)
     out_np = np.asarray(out)
     sizes_np = np.asarray(sizes)
+    if quality >= 10:
+        from .parse_dp import find_commands_dp
+        dcmds = find_commands_dp(pages_np, in_sizes_np, max_cmds,
+                                 greedy_cmds=greedy)
+        out2, sizes2 = _pack_jit(pages, in_sizes, page_size, max_cmds,
+                                 *(jnp.asarray(x) for x in dcmds), isdelta)
+        out2_np, sizes2_np = np.asarray(out2), np.asarray(sizes2)
+        win = sizes2_np < sizes_np
+        out_np = np.where(win[:, None], out2_np, out_np)
+        sizes_np = np.where(win, sizes2_np, sizes_np)
     raw_src = pages_np if raw_pages_np is None else raw_pages_np
     blobs = []
     for i in range(pages_np.shape[0]):
@@ -990,11 +1012,13 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
 
 def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
                            batch_pages: int = 64,
-                           dc_params=None, feedback=None) -> bytes:
+                           dc_params=None, feedback=None,
+                           quality: int = 11) -> bytes:
     """Container encode with BOTH match finding and serialization on device
     (the native packer is not involved). `dc_params` enables BCn
     preconditioning: the condition gather + per-page delta also run on
-    device (ops/precondition.py::preprocess_device).
+    device (ops/precondition.py::preprocess_device). quality >= 10 runs
+    the windowed-DP optimal parse, best-of against greedy per page.
 
     feedback(msg_type, text) -> bool is called once per device batch;
     returning True aborts with errors.Aborted."""
@@ -1037,7 +1061,8 @@ def encode_stream_tpu_full(data: bytes, page_size: int = 65536,
             sizes[row] = len(chunk)
             isdelta[row] = int(isdelta_flags[i])
         pages_out.extend(encode_pages_device(arr, sizes, page_size,
-                                             isdelta, raw))
+                                             isdelta, raw,
+                                             quality=quality))
         if feedback is not None and feedback(
                 MessageType.PROGRESS,
                 f"pages {len(pages_out)}/{num_pages}"):

@@ -1,0 +1,414 @@
+"""Device optimal parse (windowed DP) — the TPU analog of Zopfli.
+
+The reference encoder's ratio comes from brotli's q11 optimal parse
+(reference PageEncoder.cpp:87-147 wraps BrotliCreateHqZopfliBackwardReferences):
+a shortest path over literal/match transitions under a cost model fit to
+the previous pass. The native twin here is
+native/brotlig_encode.cpp::ParseOptimal — inherently sequential (each
+dp[i] depends on dp[i-1]). This module is the TPU-first reformulation:
+
+* pass 1: the bulk-greedy parse (ops/encode.py) supplies command/literal/
+  distance histograms; the cost model mirrors what the device serializer
+  will actually pay — the serializer's own table lengths
+  (encode_pack._choose_table), the page's searched (npostfix, ndirect),
+  per-copy-code command-symbol costs weighted over the insert-code
+  distribution, and per-literal amortization of insert extra bits. Same
+  blueprint as the native BuildCostModel (brotlig_encode.cpp:703-784),
+  vectorized over pages.
+* pass 2: dp[p] = min bits to encode the first p bytes. The sequential
+  relaxation becomes a `lax.scan` over B-position blocks with a W-deep
+  source window: literal chains of any length collapse into ONE cummin
+  per round (a literal run's cost is a prefix-sum difference, so
+  dp[t] = A[t] + min_{t'<=t}(dp[t'] - A[t']) — no per-byte steps), and
+  match edges relax by gather over the static copy-code bucket base
+  lengths plus one scatter-min for each candidate's full length. R
+  rounds per block bound how many match edges can chain inside one
+  block; denser paths degrade gracefully to valid (slightly suboptimal)
+  parses because every relaxation writes a realizable backpointer.
+
+Costs are half-bit fixed point packed with the backpointer length into
+one int32 ((cost << 10) | from_len), so min() carries the argmin for
+free; ties break toward shorter lengths. Backtracking runs on host,
+vectorized over literal runs (one bisect per command, not per byte).
+"""
+from __future__ import annotations
+
+import bisect
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import arith_lut
+from .encode import _match_len, _quads, find_candidates, find_commands
+from .encode_pack import (A_CMD, A_DST, A_LIT, _build_fields, _choose_table,
+                          _encode_distance_vec, _histogram, _ring_before,
+                          combine_codes_vec, cpy_code_vec, ins_code_vec)
+
+I32 = jnp.int32
+
+# copy-length code base lengths (RFC 7932; native kCpyBase)
+CPY_BASE = (2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54, 70,
+            102, 134, 198, 262, 390, 518, 774)
+
+COST_BITS = 21                    # half-bit cost field
+LEN_BITS = 10                     # from_len field (W <= 1023)
+INF_Q = (1 << COST_BITS) - 1      # saturating cost, half-bits
+
+
+def _copy_code_static(L: int) -> int:
+    """GetCopyCode for a static length (python int)."""
+    cc = 0
+    for i, b in enumerate(CPY_BASE):
+        if b <= L:
+            cc = i
+    return cc
+
+
+@partial(jax.jit, static_argnums=(8,))
+def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
+                     base_dist, max_cmds: int):
+    """Per-page DP cost tables + candidate set from a previous parse.
+
+    Mirrors native BuildCostModel (brotlig_encode.cpp:703-784) but uses
+    the device serializer's own table-mode lengths and the page's
+    searched (npostfix, ndirect), so costs are serializer-exact. The
+    ring approximation mirrors the native ring-aware pass
+    (brotlig_encode.cpp:830-886): each byte inherits the distance-ring
+    state the PREVIOUS parse would have at its covering command, the four
+    ring distances are probed as extra match candidates (native limit 16
+    bytes), and any candidate whose distance ring-codes against the
+    inherited state is credited the ring symbol's cost (zero extra bits).
+
+    Returns (litq [P,S], ccq [P,24], cand_len/cand_dist/dcostq [P,S,K+4]):
+      litq   — cost of byte p as a literal, incl. amortized insert extra
+      ccq    — command-symbol + copy-extra cost by copy code
+      dcostq — distance cost of candidate k at p (min of explicit/ring)
+    """
+    P, S = pages.shape
+    N = ins.shape[1]
+    fields, ntotal, tail, has_tail, npostfix, best_ndist = _build_fields(
+        pages, in_sizes, ins, cpy, dist, ncmds, max_cmds)
+    ndirect = best_ndist << npostfix
+    rows = jnp.arange(P, dtype=I32)
+    cid = jnp.arange(N, dtype=I32)[None, :]
+    valid = cid < ncmds[:, None]
+
+    # ---- histograms, exactly as pack_pages_device builds them ----
+    prefix_arr = fields["prefix"][0]
+    hist_cmd = _histogram(prefix_arr, valid, A_CMD)
+    tail_pref = fields["prefix"][1]
+    hist_cmd = hist_cmd.at[rows, jnp.clip(tail_pref, 0, A_CMD - 1)].add(
+        has_tail.astype(I32))
+    hist_cmd = hist_cmd.at[:, 704].add(1)
+    hist_dst = _histogram(fields["dsym"][0], fields["sdist"][0] > 0, A_DST)
+
+    pos_idx = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
+    cov = ins + cpy
+    starts = jnp.cumsum(cov, axis=1) - cov
+    cmark = jnp.zeros((P, S), I32)
+    spos = jnp.where(valid, jnp.clip(starts, 0, S), S)
+    cmark = cmark.at[rows[:, None], spos].max(
+        jnp.broadcast_to(cid, (P, N)), mode="drop")
+    cmd_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, N - 1)
+    st_of = jnp.take_along_axis(starts, cmd_of, axis=1)
+    ins_of = jnp.take_along_axis(ins, cmd_of, axis=1)
+    covered = jnp.sum(cov, axis=1)
+    in_lit = ((pos_idx < st_of + ins_of)
+              | (pos_idx >= covered[:, None])) & (pos_idx < in_sizes[:, None])
+    hist_lit = _histogram(pages.astype(I32), in_lit, A_LIT)
+    n_lits = jnp.sum(hist_lit, axis=1)
+
+    # ---- serializer table lengths -> per-symbol half-bit costs ----
+    def sym_cost(hist, total, A, unseen_pad):
+        lens, _, _, _, _ = _choose_table(hist, total, A)
+        tot = jnp.maximum(total, 1).astype(jnp.float32)
+        unseen = jnp.minimum(
+            15.0, jnp.log2(tot) + unseen_pad)[:, None]
+        c = jnp.where(hist > 0, lens.astype(jnp.float32), unseen)
+        return c  # bits, float32 [P, A]
+
+    lit_c = sym_cost(hist_lit, n_lits, A_LIT, 2.0)
+    dst_c = sym_cost(hist_dst, jnp.sum(hist_dst, axis=1), A_DST, 4.0)
+    cmd_c = sym_cost(hist_cmd, jnp.sum(hist_cmd, axis=1), A_CMD, 2.0)
+
+    # ---- command-symbol cost by copy code, weighted over the page's
+    # insert-code distribution (native brotlig_encode.cpp:756-780) ----
+    ic_cmds = ins_code_vec(jnp.where(valid, ins, 0))
+    h_ic = _histogram(ic_cmds, valid, 24)
+    tail_ic = ins_code_vec(tail[:, None])[:, 0]
+    h_ic = h_ic.at[rows, jnp.clip(tail_ic, 0, 23)].add(
+        has_tail.astype(I32))
+    w = h_ic.astype(jnp.float32) + 0.1                      # [P, 24]
+    grid = jnp.arange(24, dtype=I32)
+    pe = combine_codes_vec(grid[:, None], grid[None, :],
+                           jnp.zeros((24, 24), bool))       # [ic, cc]
+    pe_cost = cmd_c[:, pe.reshape(-1)].reshape(P, 24, 24)   # [P, ic, cc]
+    cmd_expl = (jnp.sum(w[:, :, None] * pe_cost, axis=1)
+                / jnp.sum(w, axis=1)[:, None])              # [P, cc]
+    cpy_extra = arith_lut.copy_extra(grid)[None, :].astype(jnp.float32)
+    ccq = jnp.round(2.0 * (cmd_expl + cpy_extra)).astype(I32)
+
+    # ---- per-byte literal cost with amortized insert extra bits ----
+    ins_extra = jnp.sum(
+        jnp.where(valid, arith_lut.insert_extra(ic_cmds), 0), axis=1)
+    ins_extra = ins_extra + jnp.where(
+        has_tail, arith_lut.insert_extra(tail_ic[None, :])[0], 0)
+    lit_step = (ins_extra.astype(jnp.float32)
+                / jnp.maximum(n_lits, 1).astype(jnp.float32) + 0.05)
+    lit_of_byte = jnp.take_along_axis(lit_c, pages.astype(I32), axis=1)
+    litq = jnp.round(2.0 * (lit_of_byte + lit_step[:, None])).astype(I32)
+
+    # ---- inherited ring state per byte (exact replay of the previous
+    # parse via _ring_before; tail bytes inherit the post-parse state) ----
+    is_copy = valid & (cpy > 0) & (dist > 0)
+    dist_e = jnp.concatenate([dist, jnp.zeros((P, 1), I32)], axis=1)
+    val_e = jnp.concatenate([is_copy, jnp.zeros((P, 1), bool)], axis=1)
+    rings = _ring_before(dist_e, val_e)                 # 4 x [P, N+1]
+    cmd_of_e = jnp.where(pos_idx >= covered[:, None], ncmds[:, None],
+                         cmd_of)
+    rb = [jnp.take_along_axis(r, jnp.clip(cmd_of_e, 0, N), axis=1)
+          for r in rings]                               # 4 x [P, S]
+
+    # ---- ring-distance probe candidates (native limit: 16 bytes) ----
+    quads = _quads(pages)
+    limit = in_sizes[:, None]
+    ring_l, ring_d = [], []
+    for r in rb:
+        cnd = jnp.where((r >= 1) & (pos_idx - r >= 0), pos_idx - r, -1)
+        ml = _match_len(quads, pos_idx, cnd, limit, words=4)
+        ok = ml >= 2
+        ring_l.append(jnp.where(ok, ml, 0))
+        ring_d.append(jnp.where(ok, r, 0))
+    cand_len = jnp.concatenate(
+        [base_len, jnp.stack(ring_l, axis=2)], axis=2)
+    cand_dist = jnp.concatenate(
+        [base_dist, jnp.stack(ring_d, axis=2)], axis=2)
+
+    # ---- candidate distance costs: explicit symbol + extra bits,
+    # credited with the ring code against the inherited state when the
+    # distance hits (codes 0-15 cost their table symbol, no extra) ----
+    K = cand_dist.shape[2]
+    d_flat = jnp.maximum(cand_dist.reshape(P, S * K), 1)
+    dsym, dnb, _ = _encode_distance_vec(d_flat, npostfix, ndirect)
+    dbits = jnp.where(dsym < A_DST,
+                      jnp.take_along_axis(dst_c, jnp.clip(dsym, 0, A_DST - 1),
+                                          axis=1), 40.0)
+    dq = jnp.round(2.0 * dbits).astype(I32) + 2 * dnb
+    dq = dq.reshape(P, S, K)
+
+    rsym = jnp.full((P, S, K), -1, I32)
+    d3 = cand_dist
+    pairs = [(rb[0], 0), (rb[1], 1), (rb[2], 2), (rb[3], 3)]
+    for j in range(3):
+        pairs += [(rb[0] - (j + 1), 4 + 2 * j), (rb[0] + (j + 1), 5 + 2 * j)]
+    for j in range(3):
+        pairs += [(rb[1] - (j + 1), 10 + 2 * j),
+                  (rb[1] + (j + 1), 11 + 2 * j)]
+    for val, code in reversed(pairs):
+        rsym = jnp.where((d3 == val[:, :, None]) & (d3 >= 1), code, rsym)
+    ring_bits = jnp.take_along_axis(
+        dst_c, jnp.clip(rsym, 0, A_DST - 1).reshape(P, S * K),
+        axis=1).reshape(P, S, K)
+    ring_q = jnp.round(2.0 * ring_bits).astype(I32)
+    dq = jnp.where(rsym >= 0, jnp.minimum(dq, ring_q), dq)
+    dcostq = jnp.minimum(dq, INF_Q)
+    return litq, ccq, cand_len, cand_dist, dcostq
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def dp_parse(litq, cand_len, dcostq, ccq, B: int, W: int, R: int):
+    """Windowed-DP shortest path. Returns combined [P, S] int32 where
+    column p-1 holds ((dp[p] half-bits) << LEN_BITS) | from_len(p);
+    from_len 0 means a literal step.
+
+    litq/cand_len/dcostq/ccq from build_cost_model; B = block size,
+    W = source window (max match length relaxed), R = match-edge rounds
+    per block. Requires S % B == 0, W % B == 0, W <= 1023.
+    """
+    P, S = litq.shape
+    K = cand_len.shape[2]
+    assert S % B == 0 and W % B == 0 and W < (1 << LEN_BITS)
+    nblocks = S // B
+    INF_C = INF_Q << LEN_BITS
+
+    # left-pad byte-indexed arrays by W so window slices start at >= 0, and
+    # right-pad by B so the LAST block's slice start (s0+1) is never clamped
+    # by dynamic_slice (a clamp silently shifts the whole window one byte)
+    litq_p = jnp.concatenate(
+        [jnp.zeros((P, W), I32), litq, jnp.zeros((P, B), I32)], axis=1)
+    clen_p = jnp.concatenate(
+        [jnp.zeros((P, W, K), I32), cand_len,
+         jnp.zeros((P, B, K), I32)], axis=1)
+    dcst_p = jnp.concatenate(
+        [jnp.full((P, W, K), INF_Q, I32), dcostq,
+         jnp.full((P, B, K), INF_Q, I32)], axis=1)
+
+    # static bucket-base edge tables
+    LENS = [l for l in CPY_BASE if l <= W]
+    nL = len(LENS)
+    lens_np = np.asarray(LENS, np.int32)
+    cc_np = np.asarray([_copy_code_static(l) for l in LENS], np.int32)
+    # source index in the [dpwin | dp_blk] concat for target t, length L
+    u_grid = np.asarray(
+        [[W + t - l for l in LENS] for t in range(B)], np.int32)  # [B, nL]
+
+    lens_c = jnp.asarray(lens_np)
+    ccL = ccq[:, jnp.asarray(cc_np)]                        # [P, nL]
+
+    # full-length edge parts are position-static too; computed per block
+    rows = jnp.arange(P, dtype=I32)[:, None]
+
+    init_win = jnp.full((P, W), INF_C, I32).at[:, W - 1].set(0)
+
+    def block(dpwin, k):
+        s0 = k * B
+        litw = jax.lax.dynamic_slice(litq_p, (0, s0 + 1), (P, W + B))
+        clenw = jax.lax.dynamic_slice(clen_p, (0, s0 + 1, 0), (P, W + B, K))
+        dcw = jax.lax.dynamic_slice(dcst_p, (0, s0 + 1, 0), (P, W + B, K))
+
+        # full-length edges: cost and target are dp-independent
+        ccf = cpy_code_vec(jnp.maximum(clenw, 2))
+        full_cc = jnp.take_along_axis(
+            ccq, ccf.reshape(P, -1), axis=1).reshape(P, W + B, K)
+        full_edge = jnp.minimum(dcw + full_cc, INF_Q)       # [P, W+B, K]
+        o_idx = jnp.arange(W + B, dtype=I32)[None, :, None]
+        full_t = o_idx + clenw - W
+        full_ok = (clenw >= 2) & (full_t >= 0) & (full_t < B)
+        full_ti = jnp.where(full_ok, full_t, B).reshape(P, -1)
+
+        # bucket-base edge costs (dp-independent): [P, B, nL, K]
+        cl_g = clenw[:, u_grid, :]                          # [P, B, nL, K]
+        dc_g = dcw[:, u_grid, :]
+        base_edge = jnp.minimum(dc_g + ccL[:, None, :, None], INF_Q)
+        base_ok = cl_g >= lens_c[None, None, :, None]
+        base_edge = jnp.where(base_ok, base_edge, INF_Q)
+        base_tag = lens_c[None, None, :, None]              # from_len
+
+        # literal prefix sums for the closure: lp[t] = litq(byte s0+t)
+        lp = litw[:, W - 1: W + B - 1]
+        A = jnp.cumsum(lp, axis=1)                          # inclusive
+
+        seed = dpwin[:, W - 1] >> LEN_BITS
+
+        def closure(dp_blk):
+            c = dp_blk >> LEN_BITS
+            m = c - A
+            z = jax.lax.cummin(
+                jnp.concatenate([seed[:, None], m[:, :-1]], axis=1), axis=1)
+            litc = jnp.minimum(z + A, INF_Q)
+            return jnp.where(litc < c, litc << LEN_BITS, dp_blk)
+
+        def round_body(_, dp_blk):
+            dp_blk = closure(dp_blk)
+            dp_cat = jnp.concatenate([dpwin, dp_blk], axis=1)
+            cost_cat = dp_cat >> LEN_BITS
+            # gather relax over bucket-base lengths
+            src = cost_cat[:, u_grid]                       # [P, B, nL]
+            tot = jnp.minimum(src[:, :, :, None] + base_edge, INF_Q)
+            comb = (tot << LEN_BITS) | base_tag
+            best = jnp.min(comb.reshape(P, B, nL * K), axis=2)
+            dp_blk = jnp.minimum(dp_blk, best)
+            # scatter relax for full candidate lengths
+            fcost = jnp.minimum(
+                cost_cat[:, :, None] + full_edge, INF_Q)
+            fcomb = ((fcost << LEN_BITS) | clenw).reshape(P, -1)
+            dp_blk = dp_blk.at[rows, full_ti].min(fcomb, mode="drop")
+            return dp_blk
+
+        dp_blk = jax.lax.fori_loop(
+            0, R, round_body, jnp.full((P, B), INF_C, I32))
+        dp_blk = closure(dp_blk)
+        new_win = jnp.concatenate([dpwin, dp_blk], axis=1)[:, -W:]
+        return new_win, dp_blk
+
+    _, blocks = jax.lax.scan(block, init_win, jnp.arange(nblocks))
+    return jnp.transpose(blocks, (1, 0, 2)).reshape(P, S)
+
+
+def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
+              in_sizes_np, max_cmds: int):
+    """Walk DP backpointers into dense (ins, cpy, dist, ncmds) arrays.
+
+    Literal runs cost one bisect per command, not one step per byte:
+    `ends` lists every dp index whose best in-edge is a match, and the
+    literal chase from q is exactly "last such index <= q"."""
+    P, S = combined_np.shape
+    flen = (combined_np & ((1 << LEN_BITS) - 1)).astype(np.int64)
+    ins_o = np.zeros((P, max_cmds), np.int32)
+    cpy_o = np.zeros((P, max_cmds), np.int32)
+    dist_o = np.zeros((P, max_cmds), np.int32)
+    nc_o = np.zeros(P, np.int32)
+    for p in range(P):
+        n = int(in_sizes_np[p])
+        if n == 0:
+            continue
+        fl = flen[p]
+        ends = (np.nonzero(fl[:n] > 0)[0] + 1).tolist()
+        cmds = []
+        q = n
+        while True:
+            j = bisect.bisect_right(ends, q) - 1
+            if j < 0:
+                break
+            e = ends[j]
+            L = int(fl[e - 1])
+            start = e - L
+            ks = np.nonzero(cand_len_np[p, start] >= L)[0]
+            # matches the kernel's edge min: same (target, L) -> the
+            # cheapest distance wins
+            k = ks[np.argmin(dcostq_np[p, start, ks])]
+            cmds.append((start, L, int(cand_dist_np[p, start, k])))
+            q = start
+        if len(cmds) > max_cmds:
+            nc_o[p] = -1        # overflow: caller falls back to greedy
+            continue
+        cmds.reverse()
+        pos = 0
+        for i, (start, L, d) in enumerate(cmds):
+            ins_o[p, i] = start - pos
+            cpy_o[p, i] = L
+            dist_o[p, i] = d
+            pos = start + L
+        nc_o[p] = len(cmds)
+    return ins_o, cpy_o, dist_o, nc_o
+
+
+def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = 3,
+                     B: int = 32, W: int = 512, R: int = 16,
+                     greedy_cmds=None):
+    """Two-pass optimal parse on device (greedy stats -> DP, iterated).
+
+    pages: uint8 [P, S] jnp/np; in_sizes: int32 [P].
+    Returns (ins, cpy, dist, ncmds) numpy arrays like find_commands;
+    pages whose DP parse overflows max_cmds (len-2 copies can double the
+    command count) keep their greedy commands. The native analog
+    iterates the cost model the same way
+    (brotlig_encode.cpp::ParseOptimal, ring-aware iters=3).
+    greedy_cmds: optional precomputed find_commands output to seed the
+    cost model (avoids recomputing the match scan)."""
+    pages = jnp.asarray(pages)
+    sizes = jnp.asarray(in_sizes)
+    if greedy_cmds is None:
+        greedy_cmds = find_commands(pages, sizes, max_cmds)
+    ins, cpy, dist, ncmds = (jnp.asarray(x) for x in greedy_cmds)
+    greedy = tuple(np.asarray(x) for x in (ins, cpy, dist, ncmds))
+    base_len, base_dist = find_candidates(pages, sizes, W)
+    for _ in range(iters):
+        litq, ccq, cand_len, cand_dist, dcostq = build_cost_model(
+            pages, sizes, ins, cpy, dist, ncmds, base_len, base_dist,
+            max_cmds)
+        ins_n, cpy_n, dist_n, nc_n = backtrack(
+            np.asarray(dp_parse(litq, cand_len, dcostq, ccq, B, W, R)),
+            np.asarray(cand_len), np.asarray(cand_dist),
+            np.asarray(dcostq), np.asarray(in_sizes), max_cmds)
+        over = nc_n < 0
+        if over.any():
+            for p in np.nonzero(over)[0]:
+                ins_n[p], cpy_n[p], dist_n[p] = (
+                    greedy[0][p], greedy[1][p], greedy[2][p])
+                nc_n[p] = greedy[3][p]
+        ins, cpy, dist, ncmds = (jnp.asarray(ins_n), jnp.asarray(cpy_n),
+                                 jnp.asarray(dist_n), jnp.asarray(nc_n))
+    return ins_n, cpy_n, dist_n, nc_n

@@ -118,3 +118,73 @@ class TestRatioRegression:
             blob = encode_stream_tpu(d, page_size=65536)
             ratio = len(d) / len(blob)
             assert ratio >= floor, f"{kind}: {ratio:.2f}x < {floor}x"
+
+
+class TestParseDP:
+    """Device windowed-DP optimal parse (ops/parse_dp.py): validity,
+    roundtrips, and parity with greedy. Small shapes keep the scan
+    compile bounded."""
+
+    B, W, R = 32, 256, 6
+
+    def _dp(self, arr, sizes, max_cmds, iters=2):
+        from brotlig_tpu.ops.parse_dp import find_commands_dp
+        return find_commands_dp(arr, sizes, max_cmds, iters=iters,
+                                B=self.B, W=self.W, R=self.R)
+
+    def _pages(self, kinds, S=2048):
+        arr = np.zeros((len(kinds), S), np.uint8)
+        sizes = np.zeros(len(kinds), np.int32)
+        for i, (kind, n) in enumerate(kinds):
+            d = make_data(kind, n, seed=i + 20)
+            arr[i, :n] = np.frombuffer(d, np.uint8)
+            sizes[i] = n
+        return arr, sizes
+
+    def test_dp_commands_valid_and_roundtrip(self):
+        from brotlig_tpu.ops.encode_pack import _pack_jit
+        S = 2048
+        arr, sizes = self._pages(
+            [("text", S), ("structured", S - 97), ("repetitive", S),
+             ("random", 1000), ("zeros", S)], S)
+        max_cmds = S // 2 + 2
+        ins, cpy, dist, nc = self._dp(arr, sizes, max_cmds)
+        for p in range(arr.shape[0]):
+            data = arr[p, :sizes[p]].tobytes()
+            pos = 0
+            for i, c, d in zip(ins[p, :nc[p]], cpy[p, :nc[p]],
+                               dist[p, :nc[p]]):
+                pos += int(i)
+                assert c >= 2
+                assert 1 <= d <= pos, (p, pos, d)
+                src = bytearray(data[:pos])
+                for j in range(int(c)):
+                    src.append(src[pos - int(d) + j])
+                assert bytes(src[pos: pos + int(c)]) == \
+                    data[pos: pos + int(c)], (p, pos)
+                pos += int(c)
+            assert pos <= sizes[p]
+        out, osz = _pack_jit(jnp.asarray(arr), jnp.asarray(sizes), S,
+                             max_cmds, jnp.asarray(ins), jnp.asarray(cpy),
+                             jnp.asarray(dist), jnp.asarray(nc),
+                             jnp.zeros(arr.shape[0], jnp.int32))
+        out, osz = np.asarray(out), np.asarray(osz)
+        for p in range(arr.shape[0]):
+            blob = out[p, :osz[p]].tobytes()
+            assert native.decode_page(blob, int(sizes[p])) == \
+                arr[p, :sizes[p]].tobytes(), f"page {p} roundtrip"
+
+    def test_dp_beats_greedy_on_text(self):
+        from brotlig_tpu.ops.encode_pack import _pack_jit
+        S = 2048
+        arr, sizes = self._pages([("text", S), ("text", S - 13)], S)
+        max_cmds = S // 2 + 2
+        sizes_of = {}
+        g = find_commands(jnp.asarray(arr), jnp.asarray(sizes), max_cmds)
+        d = tuple(jnp.asarray(x) for x in self._dp(arr, sizes, max_cmds))
+        for name, cmds in (("greedy", g), ("dp", d)):
+            _, osz = _pack_jit(jnp.asarray(arr), jnp.asarray(sizes), S,
+                               max_cmds, *cmds,
+                               jnp.zeros(arr.shape[0], jnp.int32))
+            sizes_of[name] = int(np.asarray(osz).sum())
+        assert sizes_of["dp"] < sizes_of["greedy"], sizes_of

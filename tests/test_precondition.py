@@ -220,7 +220,7 @@ class TestDeviceEncode:
         p = make_params(C.DATA_FORMAT_BC1, 256, 256, mips=2,
                         swizzle=swizzle, delta=delta)
         blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
-                          backend=backend)
+                          backend=backend, quality=1)
         assert decode(blob) == data           # oracle decoder
         assert api.decode(blob, backend="tpu") == data
         if delta:
@@ -236,7 +236,7 @@ class TestDeviceEncode:
         p = make_params(C.DATA_FORMAT_BC3, 128, 128, swizzle=True,
                         delta=True)
         blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
-                          backend=backend)
+                          backend=backend, quality=1)
         assert decode(blob) == data
         assert api.decode(blob, backend="tpu") == data
 
@@ -268,6 +268,6 @@ class TestDeviceEncode:
         p = make_params(C.DATA_FORMAT_BC1, 512, 512, swizzle=True,
                         delta=True)
         blob = api.encode(data, page_size=C.MIN_PAGE_SIZE, dc_params=p,
-                          backend=backend)
+                          backend=backend, quality=1)
         assert not StreamHeader.unpack(blob).preconditioned
         assert decode(blob) == data
