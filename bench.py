@@ -171,6 +171,26 @@ def main():
     for i in range(min(4, n_pages)):
         assert out_np[i].tobytes() == pages[i], f"bench page {i} mismatch"
 
+    # Opportunistic hardware validation of the wide (512-byte-group)
+    # phase-B sweep: expected ~4x fewer loop iterations (PERF.md). Run it
+    # once and compare byte-for-byte against the narrow kernel's output;
+    # keep it for the timed runs only if Mosaic accepts it AND it agrees.
+    sweep_cw = 128
+    if os.environ.get("BENCH_TRY_WIDE", "1") != "0" \
+            and "BLG_SWEEP_CW" not in os.environ:
+        try:
+            os.environ["BLG_SWEEP_CW"] = "512"
+            out_w, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
+                                    w_hint, s_hint)
+            if np.array_equal(np.asarray(out_w), out_np):
+                sweep_cw = 512
+            else:
+                del os.environ["BLG_SWEEP_CW"]
+        except Exception:
+            os.environ.pop("BLG_SWEEP_CW", None)
+    elif os.environ.get("BLG_SWEEP_CW") == "512":
+        sweep_cw = 512
+
     # Timing forces completion by fetching a reduction of the on-device
     # output (the reference GPU bench likewise times the dispatch via
     # timestamp queries, excluding readback: BrotligGPUDecoder.cpp:729-739)
@@ -191,6 +211,7 @@ def main():
         "vs_baseline": round(gbps / BASELINE_CPU_DECODE_GBPS, 4),
         "encode_gbps": round(enc_gbps, 5),
         "encode_ratio": round(ratio, 3),
+        "sweep_cw": sweep_cw,
     }))
 
 
@@ -209,11 +230,17 @@ def encode_bench(pages):
     sizes = np.full(len(sub), PAGE_SIZE, dtype=np.int32)
     isdelta = np.zeros(len(sub), dtype=np.int32)
 
-    blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr)  # warm
+    # quality=1 (greedy) keeps the throughput metric comparable across
+    # rounds and avoids the DP parse's extra tunnel compiles at bench
+    # time; the q11 DP ratio story is measured in BASELINE.md instead.
+    q = int(os.environ.get("BENCH_ENC_QUALITY", "1"))
+    blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr,
+                                quality=q)                        # warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr)
+        blobs = encode_pages_device(arr, sizes, PAGE_SIZE, isdelta, arr,
+                                    quality=q)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     total_in = len(sub) * PAGE_SIZE

@@ -562,9 +562,12 @@ def _finish_pallas_state(data, page_size: int, max_cmds: int):
         return decode_pages_finish(("xla", st), page_size, max_cmds)
     if os.environ.get("BLG_PALLAS_B", "1") != "0":
         npd = jnp.stack([npostfix, ndirect], axis=1)
+        # read per call (not at trace time) so bench.py can flip the wide
+        # sweep on/off between runs; the static arg keys the jit cache
+        sweep_cw = 512 if os.environ.get("BLG_SWEEP_CW") == "512" else 128
         out_pages = PD.finish_decode_pallas(
             ncmds, lit_t, chs, chc, cmd_t, npd, page_size, cbucket,
-            rbucket, _pallas_interpret())
+            rbucket, _pallas_interpret(), sweep_cw)
     else:
         litbuf = PD.finish_pallas(lit_t, chs, chc, page_size, cbucket,
                                   lit_cap)

@@ -75,55 +75,47 @@ def _mask_bits(n):
                      (jnp.uint32(1) << n) - jnp.uint32(1))
 
 
-def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
-                        max_chunks: int, pb: int):
-    """Build the phase-A kernel body for static (page_size, max_cmds, Wc,
-    pages-per-block)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+class _LaneOps:
+    """Per-(pb,128)-tile helpers shared by the phase-A and fused kernels:
+    lane bookkeeping, the 6-word window fetch, bit extraction, canonical
+    range-search symbol decode, command-field split, and the distance-ring
+    prefix scan. Instantiated INSIDE a kernel body (the iotas trace there).
+    Factoring these keeps the two kernels' subtle math one implementation;
+    the equality tests (tests/test_pallas_decode.py) pin both to the XLA
+    wavefront."""
 
-    R = max_cmds // NBS          # worst-case command rounds
-    lit_cap = page_size + 64
-    maxc1 = max_chunks - 1
-    maxc4 = (max_chunks + 3) // 4
+    def __init__(self, pb: int):
+        from jax.experimental.pallas import tpu as pltpu
+        self.pltpu = pltpu
+        self.pb = pb
+        self.lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
+        self.s_of = self.lane & (NBS - 1)    # stream id of a lane
+        self.j_of = self.lane >> 5           # slot / literal-batch id
+        self.eye = (jax.lax.broadcasted_iota(I32, (pb, 128), 0)
+                    == jax.lax.broadcasted_iota(I32, (pb, 128), 1)) \
+            .astype(I32)
 
-    def kernel(buf_ref, bp0_ref, npd_ref,
-               icp_lim, icp_first, icp_off, icp_triv, icp_dict,
-               dst_lim, dst_first, dst_off, dst_triv, dst_dict,
-               lit_lim, lit_first, lit_off, lit_triv, lit_dict,
-               cmd_out, lit_out,
-               rec_out, ncmds_out, stats_out,
-               stage_cmd, stage_lit, sem_cmd, sem_lit):
-        blk = pl.program_id(0)
-        nblk = pl.num_programs(0)
-        lane = jax.lax.broadcasted_iota(I32, (pb, 128), 1)
-        s_of = lane & (NBS - 1)      # stream id of a lane
-        j_of = lane >> 5             # slot / literal-batch id
-        eye = (jax.lax.broadcasted_iota(I32, (pb, 128), 0)
-               == jax.lax.broadcasted_iota(I32, (pb, 128), 1)).astype(I32)
+    def col_to_row(self, v):
+        # [pb, 1] page-column -> [1, 128] lane-row, page p at lane p
+        # (records are 128-wide so their block spec is tile-aligned)
+        return jnp.sum(v * self.eye, axis=0, keepdims=True)
 
-        def col_to_row(v):
-            # [pb, 1] page-column -> [1, 128] lane-row, page p at lane p
-            # (records are 128-wide so their block spec is tile-aligned)
-            return jnp.sum(v * eye, axis=0, keepdims=True)
+    def bcast_slots(self, v):
+        # replicate lanes 0..31 into all four 32-lane slot groups
+        roll = self.pltpu.roll
+        v0 = jnp.where(self.lane < NBS, v, 0)
+        return (v0 + roll(v0, 32, 1) + roll(v0, 64, 1) + roll(v0, 96, 1))
 
-        def bcast_slots(v):
-            # replicate lanes 0..31 into all four 32-lane slot groups
-            v0 = jnp.where(lane < NBS, v, 0)
-            return (v0 + pltpu.roll(v0, 32, 1) + pltpu.roll(v0, 64, 1)
-                    + pltpu.roll(v0, 96, 1))
+    def mk_fetch6(self, buf_ref, wc: int):
+        """Window fetch over the word-round-robin interleaved buffer."""
+        pb, lane, s_of, j_of = self.pb, self.lane, self.s_of, self.j_of
+        roll = self.pltpu.roll
+        bcast_slots = self.bcast_slots
 
-        # packed (start << 8 | count) records; defaults keep unwritten
-        # chunk starts sorted for the compaction, count = 0
-        rec_out[:] = jnp.full((max_chunks, 128), lit_cap << 8, I32)
-
-        npf = npd_ref[:, 0:1]
-        ndir = npd_ref[:, 1:2]
-
-        # ---- fetch: 6 words per stream from the interleaved buffer ----
         def fetch6(bp):
-            """bp [pb,128] (lanes 0..31 = stream bit cursors, stream-local).
-            Returns (w[6] list of [pb,128] int32, lanes 0..31 valid)."""
+            """bp [pb,128] (lanes 0..31 = stream bit cursors,
+            stream-local). Returns (w[6] list of [pb,128] int32, lanes
+            0..31 valid)."""
             w0 = bcast_slots(bp >> 5)                 # word cursor per slot
             pos1 = (w0 + j_of) * NBS + s_of           # words w0+0..3
             pos2 = (w0 + 4 + j_of) * NBS + s_of       # words w0+4..7 (use 2)
@@ -146,54 +138,206 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                 kmin, kmax + 1, body,
                 (jnp.zeros((pb, 128), I32), jnp.zeros((pb, 128), I32)))
             return [g1,
-                    pltpu.roll(g1, 128 - 32, 1),
-                    pltpu.roll(g1, 128 - 64, 1),
-                    pltpu.roll(g1, 128 - 96, 1),
+                    roll(g1, 128 - 32, 1),
+                    roll(g1, 128 - 64, 1),
+                    roll(g1, 128 - 96, 1),
                     g2,
-                    pltpu.roll(g2, 128 - 32, 1)]
+                    roll(g2, 128 - 32, 1)]
 
-        def extract(w, sh, delta, nbits):
-            """Bits [sh+delta, +nbits) from the 6-word window (lanes 0..31)."""
-            off = sh + delta
-            widx = off >> 5
-            bo = (off & 31).astype(U32)
-            lo = w[0].astype(U32)
-            hi = w[1].astype(U32)
-            for k in range(1, 6):
-                sel = widx == k
-                lo = jnp.where(sel, w[k].astype(U32), lo)
-                nxt = w[k + 1].astype(U32) if k + 1 < 6 else jnp.uint32(0)
-                hi = jnp.where(sel, nxt, hi)
-            win = (lo >> bo) | jnp.where(bo == 0, jnp.uint32(0),
-                                         hi << (jnp.uint32(32) - bo))
-            n = jnp.asarray(nbits)
-            return jnp.where(n == 0, jnp.uint32(0),
-                             win & _mask_bits(n)).astype(I32)
+        return fetch6
 
-        # ---- canonical range-search decode ----
-        def decode_sym(win15, lim_ref, first_ref, off_ref, triv_ref,
-                       dict_ref, nchunks):
-            idx = _rev15(win15)
-            length = jnp.ones((pb, 128), I32)
-            for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH):
-                length += (idx >= lim_ref[:, l:l + 1]).astype(I32)
-            first_l = jnp.zeros((pb, 128), I32)
-            off_l = jnp.zeros((pb, 128), I32)
-            for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH + 1):
-                sel = length == l
-                first_l = jnp.where(sel, first_ref[:, l:l + 1], first_l)
-                off_l = jnp.where(sel, off_ref[:, l:l + 1], off_l)
-            code = idx >> (C.HUFFMAN_TABLE_BITS - length)
-            rank = jnp.clip(off_l + code - first_l, 0, nchunks * 128 - 1)
-            sym = jnp.zeros((pb, 128), I32)
-            for k in range(nchunks):
-                g = jnp.take_along_axis(dict_ref[k], rank & 127, axis=1)
-                sym = jnp.where((rank >> 7) == k, g, sym)
-            triv = triv_ref[:, 0:1]
-            is_t = triv >= 0
-            sym = jnp.where(is_t, triv, sym)
-            length = jnp.where(is_t, 0, length)
-            return sym, length
+    def extract(self, w, sh, delta, nbits):
+        """Bits [sh+delta, +nbits) from the 6-word window (lanes 0..31)."""
+        off = sh + delta
+        widx = off >> 5
+        bo = (off & 31).astype(U32)
+        lo = w[0].astype(U32)
+        hi = w[1].astype(U32)
+        for k in range(1, 6):
+            sel = widx == k
+            lo = jnp.where(sel, w[k].astype(U32), lo)
+            nxt = w[k + 1].astype(U32) if k + 1 < 6 else jnp.uint32(0)
+            hi = jnp.where(sel, nxt, hi)
+        win = (lo >> bo) | jnp.where(bo == 0, jnp.uint32(0),
+                                     hi << (jnp.uint32(32) - bo))
+        n = jnp.asarray(nbits)
+        return jnp.where(n == 0, jnp.uint32(0),
+                         win & _mask_bits(n)).astype(I32)
+
+    def decode_sym(self, win15, lim_ref, first_ref, off_ref, triv_ref,
+                   dict_ref, nchunks):
+        """Canonical range-search decode + laddered dictionary gather."""
+        pb = self.pb
+        idx = _rev15(win15)
+        length = jnp.ones((pb, 128), I32)
+        for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH):
+            length += (idx >= lim_ref[:, l:l + 1]).astype(I32)
+        first_l = jnp.zeros((pb, 128), I32)
+        off_l = jnp.zeros((pb, 128), I32)
+        for l in range(1, C.HUFFMAN_NUM_CODE_LENGTH + 1):
+            sel = length == l
+            first_l = jnp.where(sel, first_ref[:, l:l + 1], first_l)
+            off_l = jnp.where(sel, off_ref[:, l:l + 1], off_l)
+        code = idx >> (C.HUFFMAN_TABLE_BITS - length)
+        rank = jnp.clip(off_l + code - first_l, 0, nchunks * 128 - 1)
+        sym = jnp.zeros((pb, 128), I32)
+        for k in range(nchunks):
+            g = jnp.take_along_axis(dict_ref[k], rank & 127, axis=1)
+            sym = jnp.where((rank >> 7) == k, g, sym)
+        triv = triv_ref[:, 0:1]
+        is_t = triv >= 0
+        sym = jnp.where(is_t, triv, sym)
+        length = jnp.where(is_t, 0, length)
+        return sym, length
+
+    def decode_cmd_fields(self, sym):
+        """Command symbol -> (insert/copy codes, base/extra-bit widths,
+        is_norm, is_sent)."""
+        is_norm = sym < C.NUM_COMMAND_SYMBOLS
+        is_sent = sym == C.SENTINEL_COMMAND
+        is_insonly = sym > C.NUM_COMMAND_SYMBOLS
+        ic_n, cc_n = arith_lut.split_command(sym)
+        inscode = jnp.where(is_insonly, sym - C.NUM_COMMAND_SYMBOLS,
+                            jnp.where(is_norm, ic_n, 0))
+        inscode = jnp.clip(inscode, 0, 23)
+        copycode = jnp.clip(jnp.where(is_norm, cc_n, 0), 0, 23)
+        ins_bits = jnp.where(is_sent, 0, arith_lut.insert_extra(inscode))
+        ins_base = jnp.where(is_sent, 0, arith_lut.insert_base(inscode))
+        cpy_bits = jnp.where(is_norm, arith_lut.copy_extra(copycode), 0)
+        cpy_base = jnp.where(is_norm, arith_lut.copy_base(copycode), 0)
+        return ins_bits, ins_base, cpy_bits, cpy_base, is_norm, is_sent
+
+    def resolve_ring(self, dcode, dextra, npf, ndir, rin, active):
+        """Distance-ring resolution (TranslateDistance semantics,
+        PageDecoder.cpp:345-404) as a prefix scan over lane transforms.
+        Each lane maps ring_in -> ring_out; a transform is 4 slots of
+        (src, val): src -1 = constant val, src k = ring_in[k] + val. That
+        class is closed under composition, so 5 Hillis-Steele steps
+        resolve all 32 lanes exactly. Returns (dist, ring_out list)."""
+        pb, lane = self.pb, self.lane
+        roll = self.pltpu.roll
+        code = dcode
+        is_rel = (code >= 0) & (code < 16)
+        depth = jnp.where(code < 4, jnp.maximum(code, 0),
+                          jnp.where(code < 10, 0, 1))
+        dmag = (jnp.maximum(code - 4, 0) % 6) // 2 + 1
+        delta = jnp.where((code >= 4) & is_rel,
+                          jnp.where((code & 1) == 1, dmag, -dmag), 0)
+        sc = jnp.maximum(code - ndir - 16, 0)
+        nb = 1 + (sc >> (npf + 1))
+        hc = sc >> npf
+        lc = sc & ((1 << npf) - 1)
+        offs = ((2 + (hc & 1)) << nb) - 4
+        longv = ((offs + dextra) << npf) + lc + ndir + 1
+        absv = jnp.where(code < 16 + ndir, code - 15, longv)
+        is_push = code > 0
+
+        def sel4(j, a0, a1, a2, a3):
+            return jnp.where(j == 0, a0,
+                             jnp.where(j == 1, a1,
+                                       jnp.where(j == 2, a2, a3)))
+
+        # per-lane transform (identity on non-push lanes)
+        s0 = jnp.where(is_push, jnp.where(is_rel, depth, -1), 0)
+        v0 = jnp.where(is_push, jnp.where(is_rel, delta, absv), 0)
+        s1 = jnp.where(is_push, 0, 1)
+        s2 = jnp.where(is_push, 1, 2)
+        s3 = jnp.where(is_push, 2, 3)
+        v1 = jnp.zeros((pb, 128), I32)
+        v2 = jnp.zeros((pb, 128), I32)
+        v3 = jnp.zeros((pb, 128), I32)
+        T = [(s0, v0), (s1, v1), (s2, v2), (s3, v3)]
+        for shift in (1, 2, 4, 8, 16):
+            A = []
+            for si, (sk, vk) in enumerate(T):
+                rs = roll(sk, shift, 1)
+                rv = roll(vk, shift, 1)
+                A.append((jnp.where(lane >= shift, rs, si),
+                          jnp.where(lane >= shift, rv, 0)))
+            Tn = []
+            for sk, vk in T:
+                js = jnp.clip(sk, 0, 3)
+                as_ = sel4(js, A[0][0], A[1][0], A[2][0], A[3][0])
+                av = sel4(js, A[0][1], A[1][1], A[2][1], A[3][1])
+                Tn.append((jnp.where(sk == -1, sk, as_),
+                           jnp.where(sk == -1, vk, av + vk)))
+            T = Tn
+
+        # exclusive prefix for each lane's ring-before
+        E = []
+        for si, (sk, vk) in enumerate(T):
+            rs = roll(sk, 1, 1)
+            rv = roll(vk, 1, 1)
+            E.append((jnp.where(lane >= 1, rs, si),
+                      jnp.where(lane >= 1, rv, 0)))
+
+        def apply_slot(se, ve):
+            base = sel4(jnp.clip(se, 0, 3), *rin)
+            return jnp.where(se == -1, ve, base + ve)
+
+        dsel = jnp.clip(depth, 0, 3)
+        se_d = sel4(dsel, E[0][0], E[1][0], E[2][0], E[3][0])
+        ve_d = sel4(dsel, E[0][1], E[1][1], E[2][1], E[3][1])
+        ring_d = apply_slot(se_d, ve_d)
+        dist = jnp.where(code >= 16, absv,
+                         jnp.where(is_rel, ring_d + delta, 0))
+
+        # fold the round's full composite into the carried ring
+        rin_n = []
+        for si in range(4):
+            s31 = T[si][0][:, 31:32]
+            v31 = T[si][1][:, 31:32]
+            rin_n.append(jnp.where(active, apply_slot(s31, v31),
+                                   rin[si]))
+        return dist, rin_n
+
+    def prefix32_excl(self, v):
+        """Exclusive prefix sum over lanes 0..31 (values outside lanes
+        0..31 must be zero)."""
+        roll = self.pltpu.roll
+        lane = self.lane
+        x = v
+        for shift in (1, 2, 4, 8, 16):
+            x = x + jnp.where(lane >= shift, roll(x, shift, 1), 0)
+        return x - v
+
+
+def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
+                        max_chunks: int, pb: int):
+    """Build the phase-A kernel body for static (page_size, max_cmds, Wc,
+    pages-per-block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = max_cmds // NBS          # worst-case command rounds
+    lit_cap = page_size + 64
+    maxc1 = max_chunks - 1
+    maxc4 = (max_chunks + 3) // 4
+
+    def kernel(buf_ref, bp0_ref, npd_ref,
+               icp_lim, icp_first, icp_off, icp_triv, icp_dict,
+               dst_lim, dst_first, dst_off, dst_triv, dst_dict,
+               lit_lim, lit_first, lit_off, lit_triv, lit_dict,
+               cmd_out, lit_out,
+               rec_out, ncmds_out, stats_out,
+               stage_cmd, stage_lit, sem_cmd, sem_lit):
+        blk = pl.program_id(0)
+        nblk = pl.num_programs(0)
+        L = _LaneOps(pb)
+        lane, s_of, j_of = L.lane, L.s_of, L.j_of
+        col_to_row = L.col_to_row
+        bcast_slots = L.bcast_slots
+
+        # packed (start << 8 | count) records; defaults keep unwritten
+        # chunk starts sorted for the compaction, count = 0
+        rec_out[:] = jnp.full((max_chunks, 128), lit_cap << 8, I32)
+
+        npf = npd_ref[:, 0:1]
+        ndir = npd_ref[:, 1:2]
+
+        fetch6 = L.mk_fetch6(buf_ref, wc)
+        extract = L.extract
+        decode_sym = L.decode_sym
 
         # ---- literal chunk: 4 chained batches of 32 literals ----
         def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
@@ -258,17 +402,8 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                                  icp_triv, icp_dict, NC_ICP)
             is_norm = sym < C.NUM_COMMAND_SYMBOLS
             is_sent = sym == C.SENTINEL_COMMAND
-            is_insonly = sym > C.NUM_COMMAND_SYMBOLS
-
-            ic_n, cc_n = arith_lut.split_command(sym)
-            inscode = jnp.where(is_insonly, sym - C.NUM_COMMAND_SYMBOLS,
-                                jnp.where(is_norm, ic_n, 0))
-            inscode = jnp.clip(inscode, 0, 23)
-            copycode = jnp.clip(jnp.where(is_norm, cc_n, 0), 0, 23)
-            ins_bits = jnp.where(is_sent, 0, arith_lut.insert_extra(inscode))
-            ins_base = jnp.where(is_sent, 0, arith_lut.insert_base(inscode))
-            cpy_bits = jnp.where(is_norm, arith_lut.copy_extra(copycode), 0)
-            cpy_base = jnp.where(is_norm, arith_lut.copy_base(copycode), 0)
+            (ins_bits, ins_base, cpy_bits, cpy_base,
+             _, _) = L.decode_cmd_fields(sym)
 
             ins_extra = extract(w, sh, ln, ins_bits)
             cpy_extra = extract(w, sh, ln + ins_bits, cpy_bits)
@@ -304,86 +439,8 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                               jnp.where(valid & is_norm, 0, -1))
             dextra = jnp.where(valid, dextra, 0)
 
-            # ---- distance-ring resolution (TranslateDistance semantics,
-            # PageDecoder.cpp:345-404) as a prefix scan over lane
-            # transforms. Each lane maps ring_in -> ring_out; a transform
-            # is 4 slots of (src, val): src -1 = constant val, src k =
-            # ring_in[k] + val. That class is closed under composition,
-            # so 5 Hillis-Steele steps resolve all 32 lanes exactly.
-            code = dcode
-            is_rel = (code >= 0) & (code < 16)
-            depth = jnp.where(code < 4, jnp.maximum(code, 0),
-                              jnp.where(code < 10, 0, 1))
-            dmag = (jnp.maximum(code - 4, 0) % 6) // 2 + 1
-            delta = jnp.where((code >= 4) & is_rel,
-                              jnp.where((code & 1) == 1, dmag, -dmag), 0)
-            sc = jnp.maximum(code - ndir - 16, 0)
-            nb = 1 + (sc >> (npf + 1))
-            hc = sc >> npf
-            lc = sc & ((1 << npf) - 1)
-            offs = ((2 + (hc & 1)) << nb) - 4
-            longv = ((offs + dextra) << npf) + lc + ndir + 1
-            absv = jnp.where(code < 16 + ndir, code - 15, longv)
-            is_push = code > 0
-
-            def sel4(j, a0, a1, a2, a3):
-                return jnp.where(j == 0, a0,
-                                 jnp.where(j == 1, a1,
-                                           jnp.where(j == 2, a2, a3)))
-
-            # per-lane transform (identity on non-push lanes)
-            s0 = jnp.where(is_push, jnp.where(is_rel, depth, -1), 0)
-            v0 = jnp.where(is_push, jnp.where(is_rel, delta, absv), 0)
-            s1 = jnp.where(is_push, 0, 1)
-            s2 = jnp.where(is_push, 1, 2)
-            s3 = jnp.where(is_push, 2, 3)
-            v1 = jnp.zeros((pb, 128), I32)
-            v2 = jnp.zeros((pb, 128), I32)
-            v3 = jnp.zeros((pb, 128), I32)
-            T = [(s0, v0), (s1, v1), (s2, v2), (s3, v3)]
-            for shift in (1, 2, 4, 8, 16):
-                A = []
-                for si, (sk, vk) in enumerate(T):
-                    rs = pltpu.roll(sk, shift, 1)
-                    rv = pltpu.roll(vk, shift, 1)
-                    A.append((jnp.where(lane >= shift, rs, si),
-                              jnp.where(lane >= shift, rv, 0)))
-                Tn = []
-                for sk, vk in T:
-                    js = jnp.clip(sk, 0, 3)
-                    as_ = sel4(js, A[0][0], A[1][0], A[2][0], A[3][0])
-                    av = sel4(js, A[0][1], A[1][1], A[2][1], A[3][1])
-                    Tn.append((jnp.where(sk == -1, sk, as_),
-                               jnp.where(sk == -1, vk, av + vk)))
-                T = Tn
-
-            # exclusive prefix for each lane's ring-before
-            E = []
-            for si, (sk, vk) in enumerate(T):
-                rs = pltpu.roll(sk, 1, 1)
-                rv = pltpu.roll(vk, 1, 1)
-                E.append((jnp.where(lane >= 1, rs, si),
-                          jnp.where(lane >= 1, rv, 0)))
-            rin = [rin0, rin1, rin2, rin3]
-
-            def apply_slot(se, ve):
-                base = sel4(jnp.clip(se, 0, 3), *rin)
-                return jnp.where(se == -1, ve, base + ve)
-
-            dsel = jnp.clip(depth, 0, 3)
-            se_d = sel4(dsel, E[0][0], E[1][0], E[2][0], E[3][0])
-            ve_d = sel4(dsel, E[0][1], E[1][1], E[2][1], E[3][1])
-            ring_d = apply_slot(se_d, ve_d)
-            dist = jnp.where(code >= 16, absv,
-                             jnp.where(is_rel, ring_d + delta, 0))
-
-            # fold the round's full composite into the carried ring
-            rin_n = []
-            for si in range(4):
-                s31 = T[si][0][:, 31:32]
-                v31 = T[si][1][:, 31:32]
-                rin_n.append(jnp.where(active, apply_slot(s31, v31),
-                                       rin[si]))
+            dist, rin_n = L.resolve_ring(dcode, dextra, npf, ndir,
+                                         [rin0, rin1, rin2, rin3], active)
             rin0_n, rin1_n, rin2_n, rin3_n = rin_n
 
             # stream the round's 32 commands per page out over DMA; the four
@@ -708,10 +765,10 @@ def _cmds_split(cmd_t, P: int, rbucket: int):
     return x[:, 0], x[:, 1], x[:, 2], x[:, 3]
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
                          page_size: int, cbucket: int, rbucket: int,
-                         interpret: bool = False):
+                         interpret: bool = False, sweep_cw: int = 128):
     """Single-dispatch finish path: literal compaction + command split +
     phase-B chunk-sweep kernel, all in one compiled program."""
     P = ncmds.shape[0]
@@ -724,7 +781,7 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
     recs = chs[:cbucket].T
     return _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a,
                           dist_a, None, npd, page_size, interpret,
-                          resolved=True)
+                          resolved=True, sweep_cw=sweep_cw)
 
 
 # ---------------------------------------------------------------------------
@@ -1206,9 +1263,10 @@ def _to_chunk_major(x, nchunks: int, pad_val: int = 0):
     return x.reshape(P, nchunks, 128).transpose(1, 0, 2)
 
 
-@partial(jax.jit, static_argnums=(7, 8))
+@partial(jax.jit, static_argnums=(7, 8, 9))
 def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
-                   page_size: int, interpret: bool = False):
+                   page_size: int, interpret: bool = False,
+                   sweep_cw: int = 128):
     """Phase B over an already-compacted literal buffer: identity slot
     records (slot j starts at literal 128j)."""
     P = litbuf.shape[0]
@@ -1217,7 +1275,8 @@ def phase_b_pallas(ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npd,
     recs = jnp.broadcast_to(
         (jnp.arange(lch, dtype=I32) * 128)[None, :], (P, lch))
     return _phase_b_sweep(ncmds, slots4, lch, recs, ins_a, cpy_a, dcode_a,
-                          dextra_a, npd, page_size, interpret)
+                          dextra_a, npd, page_size, interpret,
+                          sweep_cw=sweep_cw)
 
 
 def _pack_slots(slots):
@@ -1249,7 +1308,7 @@ def _sweep_pb(P: int, cb4: int, N: int, S: int) -> int:
 
 def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
                    dextra_a, npd, page_size: int, interpret: bool = False,
-                   resolved: bool = False):
+                   resolved: bool = False, sweep_cw: int = 128):
     """Masked command prep + distance resolution (XLA, unless the phase-A
     kernel already resolved the ring: resolved=True means dcode_a holds
     absolute distances) + the chunk-sweep LZ kernel.
@@ -1291,8 +1350,10 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
     recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
 
     # default stays the 128-byte kernel until the wide one is validated
-    # through Mosaic on real hardware (interpret mode accepts a superset)
-    if os.environ.get("BLG_SWEEP_CW", "128") == "512" and S % 512 == 0:
+    # through Mosaic on real hardware (interpret mode accepts a superset);
+    # sweep_cw is a per-call static arg so bench.py can A/B it at runtime
+    # (an env read here would bake into the first-traced program forever)
+    if sweep_cw == 512 and S % 512 == 0:
         kernel = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
                                           cbucket, pb)
     else:
