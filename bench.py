@@ -191,6 +191,24 @@ def main():
     elif os.environ.get("BLG_SWEEP_CW") == "512":
         sweep_cw = 512
 
+    # Same opportunistic validation for the fused single-dispatch kernel
+    # (phase A + B in one Pallas call, no HBM roundtrip / host sync).
+    fused = False
+    if os.environ.get("BENCH_TRY_FUSED", "1") != "0" \
+            and "BLG_FUSED" not in os.environ:
+        try:
+            os.environ["BLG_FUSED"] = "1"
+            out_f, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
+                                    w_hint, s_hint)
+            if np.array_equal(np.asarray(out_f), out_np):
+                fused = True
+            else:
+                del os.environ["BLG_FUSED"]
+        except Exception:
+            os.environ.pop("BLG_FUSED", None)
+    elif os.environ.get("BLG_FUSED") == "1":
+        fused = True
+
     # Timing forces completion by fetching a reduction of the on-device
     # output (the reference GPU bench likewise times the dispatch via
     # timestamp queries, excluding readback: BrotligGPUDecoder.cpp:729-739)
@@ -212,6 +230,7 @@ def main():
         "encode_gbps": round(enc_gbps, 5),
         "encode_ratio": round(ratio, 3),
         "sweep_cw": sweep_cw,
+        "fused": fused,
     }))
 
 

@@ -524,6 +524,16 @@ def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
     kernel instead of the XLA round loop."""
     if _use_pallas(words.shape[0], s_hint, w_hint):
         from . import pallas_decode as PD
+        if os.environ.get("BLG_FUSED", "0") == "1":
+            # single-dispatch fused kernel (phase A + B, no HBM roundtrip,
+            # no inter-phase host sync); opt-in until Mosaic-validated on
+            # hardware — bench.py auto-tries it
+            sweep_cw = (512 if os.environ.get("BLG_SWEEP_CW") == "512"
+                        else 128)
+            out = PD.decode_fused_pallas(
+                words, in_sizes, page_size, max_cmds,
+                PD.wl_bucket(s_hint), _pallas_interpret(), sweep_cw)
+            return ("fused", (out, words, in_sizes, w_hint))
         out = PD.phase_a_pallas(words, in_sizes, page_size, max_cmds,
                                 PD.wl_bucket(s_hint), _pallas_interpret())
         # words/w_hint ride along for the rare chunk-overflow fallback
@@ -579,9 +589,26 @@ def _finish_pallas_state(data, page_size: int, max_cmds: int):
     return out_pages, isdelta
 
 
+def _finish_fused_state(data, page_size: int, max_cmds: int):
+    """The fused kernel already produced the pages; fetch its stats to
+    detect literal-chunk overflow (lockstep trips in extremely unbalanced
+    batches) and rerun those through the XLA wavefront if needed."""
+    from . import pallas_decode as PD
+    (out_b, isdelta, _ncmds, stats), words, in_sizes, w_hint = data
+    stats_np = np.asarray(stats)
+    if int(stats_np[:, 0].max()) >= \
+            PD._fused_chunks(page_size, max_cmds) - 1:
+        st = _stage_symbols(_narrow_words(words, w_hint), in_sizes,
+                            page_size, max_cmds)
+        return decode_pages_finish(("xla", st), page_size, max_cmds)
+    return out_b, isdelta
+
+
 def decode_pages_finish(state, page_size: int, max_cmds: int):
     """Bucket command arrays by the batch's real peak and run phase B."""
     tag, data = state
+    if tag == "fused":
+        return _finish_fused_state(data, page_size, max_cmds)
     if tag == "pallas":
         return _finish_pallas_state(data, page_size, max_cmds)
     (ncmds, litbuf, ins_a, cpy_a, dcode_a, dextra_a, npostfix, ndirect,

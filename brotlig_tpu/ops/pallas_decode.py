@@ -1380,6 +1380,385 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
 
 
 # ---------------------------------------------------------------------------
+# Fused decode: phase A + phase B in ONE kernel dispatch
+# ---------------------------------------------------------------------------
+#
+# The reference GPU decoder never leaves the chip between symbol decode and
+# LZ execution (BrotliGCompute.hlsl:1349-1432: commands, literals and the
+# output page all live in registers/LDS). The two-phase pipeline above pays
+# for that split three times: phase A DMAs command rounds + literal rows to
+# HBM, an XLA middle stage re-reads them (transposes + cumsums + chunk-major
+# relayouts), and the host fetches `stats` between the dispatches to size
+# the phase-B buckets. The fused kernel keeps everything in VMEM scratch:
+#
+# * the round loop writes the four command fields straight into chunk-major
+#   planes ([ncmdch, pb, 128]: command n at (n>>7, page, n&127)) with the
+#   output start / copy start / literal start computed on the fly from
+#   32-lane prefix sums + running totals — exactly the cumsums the XLA
+#   middle stage computed over HBM arrays;
+# * literal slot rows and their start records accumulate in scratch planes
+#   with the same packing the phase-B sweep expects;
+# * the phase-B kernel BODY (make_phase_b_kernel / _wide) then runs in the
+#   same kernel invocation on those scratch refs — scratch and input refs
+#   share the load interface, so the sweep code is reused verbatim.
+#
+# VMEM sizing note: at 64 KiB pages the worst-case command planes
+# (max_cmds = S/2 len-2 copies) cost 4*257 rows, the packed literal plane
+# ~769 rows, the interleaved bitstream ~144 rows — pb=8 pages/block fits
+# the ~13 MB scoped budget with the full worst-case bounds (see _fused_pb).
+
+BIG_START = 1 << 29      # "never wins the covering-command search"
+
+
+def _fused_chunks(page_size: int, max_cmds: int) -> int:
+    """Literal-chunk capacity bound (identical to phase A's)."""
+    return max_cmds // NBS + 4 * ((page_size + 64) // CHUNK_W) + 2
+
+
+def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
+                      sweep_cw: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = page_size
+    R = max_cmds // NBS
+    max_chunks = _fused_chunks(page_size, max_cmds)
+    ncmdch = (max_cmds + 127) // 128
+    nrecch = (max_chunks + 127) // 128
+    cb4 = (max_chunks + 3) // 4
+    nch = S // 128
+    maxc1 = max_chunks - 1
+
+    if sweep_cw == 512 and S % 512 == 0:
+        sweep = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
+                                         max_chunks, pb)
+    else:
+        sweep = make_phase_b_kernel(S, nch, ncmdch, nrecch, max_chunks, pb)
+
+    def kernel(buf_ref, bp0_ref, npd_ref,
+               icp_lim, icp_first, icp_off, icp_triv, icp_dict,
+               dst_lim, dst_first, dst_off, dst_triv, dst_dict,
+               lit_lim, lit_first, lit_off, lit_triv, lit_dict,
+               out_ref, ncmds_out, stats_out,
+               st_pl, cst_pl, lst_pl, dst_pl, recs_pl, lit_pl):
+        L = _LaneOps(pb)
+        lane, s_of, j_of = L.lane, L.s_of, L.j_of
+        bcast_slots = L.bcast_slots
+        fetch6 = L.mk_fetch6(buf_ref, wc)
+        extract = L.extract
+        decode_sym = L.decode_sym
+
+        npf = npd_ref[:, 0:1]
+        ndir = npd_ref[:, 1:2]
+
+        # unwritten command starts / record starts must never win their
+        # binary searches
+        def init_body(i, _):
+            @pl.when(i < ncmdch)
+            def _():
+                st_pl[pl.ds(i, 1)] = jnp.full((1, pb, 128), BIG_START, I32)
+                cst_pl[pl.ds(i, 1)] = jnp.zeros((1, pb, 128), I32)
+                lst_pl[pl.ds(i, 1)] = jnp.zeros((1, pb, 128), I32)
+                dst_pl[pl.ds(i, 1)] = jnp.zeros((1, pb, 128), I32)
+
+            @pl.when(i < nrecch)
+            def _():
+                recs_pl[pl.ds(i, 1)] = jnp.full((1, pb, 128), BIG_START,
+                                                I32)
+            return 0
+
+        jax.lax.fori_loop(0, max(ncmdch, nrecch), init_body, 0)
+
+        def place(v, q):
+            """Move lanes 0..31 to the 32-lane slot group q (dynamic)."""
+            return jnp.where(q == 0, v,
+                             jnp.where(q == 1, pltpu.roll(v, 32, 1),
+                                       jnp.where(q == 2,
+                                                 pltpu.roll(v, 64, 1),
+                                                 pltpu.roll(v, 96, 1))))
+
+        def plane_write(plane, v, chunk, q):
+            row = plane[chunk]
+            plane[pl.ds(chunk, 1)] = jnp.where(
+                (lane >> 5) == q, place(v, q), row)[None]
+
+        # ---- literal chunk (plane-sink twin of phase A's lit_chunk) ----
+        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            delta = jnp.zeros((pb, 128), I32)
+            block = jnp.zeros((pb, 128), I32)
+            for jj in range(LSLOTS):
+                win15 = extract(w, sh, delta, 15)
+                sym, ln = decode_sym(win15, lit_lim, lit_first, lit_off,
+                                     lit_triv, lit_dict, NC_LIT)
+                active = ((lbase + jj * NBS + s_of) < rlit) & (lane < NBS)
+                delta = delta + jnp.where(active, ln, 0)
+                placed = pltpu.roll(jnp.where(lane < NBS, sym, 0),
+                                    32 * jj, 1) if jj else \
+                    jnp.where(lane < NBS, sym, 0)
+                block = jnp.where(j_of == jj, placed, block)
+                delta = bcast_slots(delta)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+
+            cw = jnp.minimum(cidx, maxc1)
+            q = cidx & 3
+            pk = jnp.where(q == 0, block, pk | (block << (q * 8)))
+
+            @pl.when(q == 3)
+            def _():
+                lit_pl[pl.ds(jnp.minimum(cidx >> 2, cb4 - 1), 1)] = pk[None]
+
+            start = qtail + jnp.minimum(lbase, rlit)    # [pb, 1]
+            row = recs_pl[cw >> 7]
+            recs_pl[pl.ds(cw >> 7, 1)] = jnp.where(
+                lane == (cw & 127), jnp.broadcast_to(start, (pb, 128)),
+                row)[None]
+            return bp, cidx + 1, pk
+
+        # ---- command round (plane-sink twin of phase A's round_body) ----
+        def round_body(carry):
+            (r, cidx, bp, done, ncmds, prev_tail, qtail, pos_tot, ins_tot,
+             rin0, rin1, rin2, rin3, pk) = carry
+            active = (done == 0)                       # [pb, 1]
+
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            win15 = extract(w, sh, 0, 15)
+            sym, ln = decode_sym(win15, icp_lim, icp_first, icp_off,
+                                 icp_triv, icp_dict, NC_ICP)
+            is_norm = sym < C.NUM_COMMAND_SYMBOLS
+            is_sent = sym == C.SENTINEL_COMMAND
+            (ins_bits, ins_base, cpy_bits, cpy_base,
+             _, _) = L.decode_cmd_fields(sym)
+
+            ins_extra = extract(w, sh, ln, ins_bits)
+            cpy_extra = extract(w, sh, ln + ins_bits, cpy_bits)
+            insert_len = ins_base + ins_extra
+            copy_len = cpy_base + cpy_extra
+            bp1 = bp + ln
+            d_off = ln + ins_bits + cpy_bits
+
+            need_dist = is_norm & (sym >= 128)
+            dwin = extract(w, sh, d_off, 15)
+            dsym, dln = decode_sym(dwin, dst_lim, dst_first, dst_off,
+                                   dst_triv, dst_dict, NC_DST)
+            dln_eff = jnp.where(need_dist, dln, 0)
+            is_long = dsym >= (16 + ndir)
+            dnb = jnp.where(need_dist & is_long,
+                            1 + (jnp.maximum(dsym - ndir - 16, 0)
+                                 >> (npf + 1)), 0)
+            dnb = jnp.clip(dnb, 0, 30)
+            dextra = extract(w, sh, d_off + dln_eff, dnb)
+            bp4 = bp + d_off + dln_eff + dnb
+
+            sent_lane = jnp.where(is_sent & (lane < NBS), lane, NBS)
+            k = jnp.min(sent_lane, axis=1, keepdims=True)     # [pb, 1]
+            k = jnp.where(active, k, 0)
+            valid = active & (lane < k)
+            bp = jnp.where(valid, bp4,
+                           jnp.where(active & (lane == k), bp1, bp))
+
+            insert_len = jnp.where(valid, insert_len, 0)
+            copy_len = jnp.where(valid, copy_len, 0)
+            dcode = jnp.where(valid & need_dist, dsym,
+                              jnp.where(valid & is_norm, 0, -1))
+            dextra = jnp.where(valid, dextra, 0)
+
+            dist, rin_n = L.resolve_ring(dcode, dextra, npf, ndir,
+                                         [rin0, rin1, rin2, rin3], active)
+            rin0_n, rin1_n, rin2_n, rin3_n = rin_n
+
+            # the XLA middle stage's cumsums, computed in-round: output
+            # start / copy start / literal start of each command from
+            # 32-lane exclusive prefixes + the carried page totals
+            cov = insert_len + copy_len
+            excl_cov = L.prefix32_excl(cov)
+            excl_ins = L.prefix32_excl(insert_len)
+            st_v = jnp.where(valid, pos_tot + excl_cov, BIG_START)
+            cst_v = pos_tot + excl_cov + insert_len
+            lst_v = ins_tot + excl_ins
+            chunk = r >> 2
+            q = r & 3
+            plane_write(st_pl, st_v, chunk, q)
+            plane_write(cst_pl, cst_v, chunk, q)
+            plane_write(lst_pl, lst_v, chunk, q)
+            plane_write(dst_pl, dist, chunk, q)
+            pos_tot = pos_tot + jnp.sum(cov, axis=1, keepdims=True)
+            ins_tot = ins_tot + jnp.sum(insert_len, axis=1, keepdims=True)
+
+            ncmds = ncmds + jnp.where(active, k, 0)
+
+            litcount = jnp.sum(insert_len, axis=1, keepdims=True)
+            bs = k
+            aclit = jnp.maximum(litcount - prev_tail, 0)
+            mult = jnp.where(bs > 0, (aclit + bs - 1)
+                             // jnp.maximum(bs, 1), 0)
+            rlit = jnp.where(active, bs * mult, 0)               # [pb, 1]
+            prev_tail = jnp.where(active, rlit + prev_tail - litcount,
+                                  prev_tail)
+
+            bp, cidx, pk = lit_chunk(jnp.int32(0), bp, cidx, qtail, rlit,
+                                     pk)
+
+            def lit_cond(c):
+                lbase, *_ = c
+                return lbase < jnp.max(rlit)
+
+            def lit_body(c):
+                lbase, bp, cidx, pk = c
+                bp, cidx, pk = lit_chunk(lbase, bp, cidx, qtail, rlit, pk)
+                return lbase + CHUNK_W, bp, cidx, pk
+
+            _, bp, cidx, pk = jax.lax.while_loop(
+                lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx, pk))
+            qtail = qtail + rlit
+
+            done = jnp.where(active & (k < NBS), 1, done)
+            return (r + 1, cidx, bp, done, ncmds, prev_tail, qtail,
+                    pos_tot, ins_tot, rin0_n, rin1_n, rin2_n, rin3_n, pk)
+
+        def round_cond(carry):
+            r, _, _, done, *_ = carry
+            return (jnp.min(done) == 0) & (r < R)
+
+        init = (jnp.int32(0), jnp.int32(0), bp0_ref[:],
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
+                jnp.zeros((pb, 1), I32), jnp.zeros((pb, 1), I32),
+                jnp.full((pb, 1), 4, I32), jnp.full((pb, 1), 11, I32),
+                jnp.full((pb, 1), 15, I32), jnp.full((pb, 1), 16, I32),
+                jnp.zeros((pb, 128), I32))
+        (r_f, cidx_f, _, _, ncmds, _pt, _qt, _pos, _ins, _r0, _r1, _r2,
+         _r3, pk_f) = jax.lax.while_loop(round_cond, round_body, init)
+
+        @pl.when((cidx_f & 3) != 0)       # flush a partial packed row
+        def _():
+            lit_pl[pl.ds(jnp.minimum(cidx_f >> 2, cb4 - 1), 1)] = pk_f[None]
+
+        ncmds_out[:, 0:1] = ncmds
+        stats_out[:, 0:1] = jnp.broadcast_to(cidx_f, (pb, 1))
+        stats_out[:, 1:2] = jnp.broadcast_to(r_f, (pb, 1))
+
+        # ---- phase B on the scratch planes, same kernel invocation ----
+        sweep(st_pl, cst_pl, lst_pl, dst_pl, recs_pl, lit_pl, out_ref)
+
+    return kernel
+
+
+def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int) -> int:
+    """Pages per fused-kernel block under the ~13 MB VMEM budget."""
+    max_chunks = _fused_chunks(page_size, max_cmds)
+    ncmdch = (max_cmds + 127) // 128
+    nrecch = (max_chunks + 127) // 128
+    cb4 = (max_chunks + 3) // 4
+    nch = page_size // 128
+    wpp = (2 * wc * 128 + 4 * ncmdch * 128 + cb4 * 128 + nrecch * 128
+           + (nch // 4) * 128 + 2 * (NC_ICP + NC_DST + NC_LIT) * 128
+           + 1024)
+    pb = 8
+    while pb > 1 and (pb * wpp * 4 > 13 * (1 << 20) or P % pb):
+        pb -= 1
+    return pb
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def decode_fused_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
+                        page_size: int, max_cmds: int, wl: int,
+                        interpret: bool = False, sweep_cw: int = 128):
+    """Headers + tables in XLA, then ONE fused Pallas kernel for the whole
+    page decode (phase A + phase B). Returns (out [P, page_size] uint8,
+    isdelta [P], ncmds [P], stats [P, 2])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, W = words.shape
+    npostfix, ndirect, isdelta, lane_bp, stream_bytes = \
+        parse_page_headers_full(words, in_sizes)
+    icp_len, icp_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_COMMAND_SYMBOLS_EFFECTIVE)
+    dst_len, dst_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_DISTANCE_SYMBOLS)
+    lit_len, lit_triv, lane_bp = load_table(
+        words, lane_bp, C.NUM_LITERAL_SYMBOLS)
+
+    def mk(lengths):
+        return build_search(lengths, C.HUFFMAN_NUM_CODE_LENGTH,
+                            C.HUFFMAN_TABLE_BITS)
+    icp_s = _pack_search(mk(icp_len), NC_ICP)
+    dst_s = _pack_search(mk(dst_len), NC_DST)
+    lit_s = _pack_search(mk(lit_len), NC_LIT)
+
+    buf3 = _interleave_streams(words, stream_bytes, wl)
+    wc = buf3.shape[0]
+    bp0 = jnp.pad(lane_bp - stream_bytes * 8, ((0, 0), (0, 128 - NBS)))
+    npd = jnp.stack([npostfix, ndirect], axis=1)
+
+    pb = _fused_pb(P, wc, page_size, max_cmds)
+    max_chunks = _fused_chunks(page_size, max_cmds)
+    ncmdch = (max_cmds + 127) // 128
+    nrecch = (max_chunks + 127) // 128
+    cb4 = (max_chunks + 3) // 4
+    nch = page_size // 128
+
+    kernel = make_fused_kernel(page_size, max_cmds, wc, pb, sweep_cw)
+
+    def vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def page_spec(cols):
+        return vspec((pb, cols), lambda i: (i, 0))
+
+    def dict_spec(nc):
+        return vspec((nc, pb, 128), lambda i: (0, i, 0))
+
+    in_specs = [
+        vspec((wc, pb, 128), lambda i: (0, i, 0)),    # buf3
+        page_spec(128),                               # bp0 (padded)
+        page_spec(2),                                 # npd
+    ]
+    for nc in (NC_ICP, NC_DST, NC_LIT):
+        in_specs += [page_spec(32), page_spec(32), page_spec(32),
+                     page_spec(1), dict_spec(nc)]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((nch // 4, P, 128), jnp.int32),  # packed out
+        jax.ShapeDtypeStruct((P, 1), jnp.int32),              # ncmds
+        jax.ShapeDtypeStruct((P, 2), jnp.int32),              # stats
+    )
+    out_specs = (
+        vspec((nch // 4, pb, 128), lambda i: (0, i, 0)),
+        vspec((pb, 1), lambda i: (i, 0)),
+        vspec((pb, 2), lambda i: (i, 0)),
+    )
+
+    out, ncmds, stats = pl.pallas_call(
+        kernel,
+        grid=(P // pb,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((ncmdch, pb, 128), jnp.int32),   # st plane
+            pltpu.VMEM((ncmdch, pb, 128), jnp.int32),   # cst plane
+            pltpu.VMEM((ncmdch, pb, 128), jnp.int32),   # lst plane
+            pltpu.VMEM((ncmdch, pb, 128), jnp.int32),   # dist plane
+            pltpu.VMEM((nrecch, pb, 128), jnp.int32),   # record starts
+            pltpu.VMEM((cb4, pb, 128), jnp.int32),      # packed literals
+        ],
+        interpret=interpret,
+    )(buf3, bp0, npd,
+      icp_s[0], icp_s[1], icp_s[2], icp_triv[:, None], icp_s[3],
+      dst_s[0], dst_s[1], dst_s[2], dst_triv[:, None], dst_s[3],
+      lit_s[0], lit_s[1], lit_s[2], lit_triv[:, None], lit_s[3])
+
+    w = out.transpose(1, 0, 2).reshape(P, (nch // 4) * 128)
+    b = jax.lax.bitcast_convert_type(w, jnp.uint8)    # [P, S//4, 4] LE
+    return (b.reshape(P, nch * 128)[:, :page_size],
+            isdelta, ncmds[:, 0], stats)
+
+
+# ---------------------------------------------------------------------------
 # Host-side hints
 # ---------------------------------------------------------------------------
 

@@ -94,6 +94,21 @@ class TestPallasPhaseA:
         for p, (_, d) in enumerate(keep):
             assert out[p, : len(d)].tobytes() == d
 
+    @pytest.mark.parametrize("cw", ["128", "512"])
+    def test_end_to_end_decode_fused(self, mixed_batch, monkeypatch, cw):
+        """The fused single-dispatch kernel (BLG_FUSED=1 opt-in until
+        Mosaic-validated on hardware) must agree byte-for-byte, with both
+        sweep widths."""
+        monkeypatch.setenv("BLG_FUSED", "1")
+        monkeypatch.setenv("BLG_SWEEP_CW", cw)
+        n, keep, words, sizes = mixed_batch
+        s_hint = PD.stream_words_hint([c for c, _ in keep])
+        out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
+                                 w_hint=None, s_hint=s_hint)
+        out = np.asarray(out)
+        for p, (_, d) in enumerate(keep):
+            assert out[p, : len(d)].tobytes() == d
+
 
 def test_stream_words_hint_covers_actual_layout():
     # the hint must bound the per-stream word cursor reach for every page
