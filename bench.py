@@ -165,31 +165,39 @@ def main():
     from brotlig_tpu.ops.pallas_decode import stream_words_hint
     s_hint = stream_words_hint(comps)   # routes to the Pallas kernels
 
-    # warmup + correctness check
-    out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
-    out_np = np.asarray(out)
+    # warmup + correctness check. The wide (512-byte-group) phase-B sweep
+    # is the default since its hardware validation (byte-identical to the
+    # narrow kernel, -34% batch time same-window, 2026-08-18); if Mosaic
+    # ever rejects it again, fall back to the narrow kernel.
+    sweep_cw = 128 if os.environ.get("BLG_SWEEP_CW") == "128" else 512
+    try:
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
+        out_np = np.asarray(out)
+    except Exception:
+        if sweep_cw == 128:
+            raise
+        sweep_cw = 128
+        os.environ["BLG_SWEEP_CW"] = "128"
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
+        out_np = np.asarray(out)
     for i in range(min(4, n_pages)):
         assert out_np[i].tobytes() == pages[i], f"bench page {i} mismatch"
 
-    # Opportunistic hardware validation of the wide (512-byte-group)
-    # phase-B sweep: expected ~4x fewer loop iterations (PERF.md). Run it
-    # once and compare byte-for-byte against the narrow kernel's output;
-    # keep it for the timed runs only if Mosaic accepts it AND it agrees.
-    sweep_cw = 128
-    if os.environ.get("BENCH_TRY_WIDE", "1") != "0" \
-            and "BLG_SWEEP_CW" not in os.environ:
+    # Cross-check the two independent sweep kernels byte-for-byte (cheap
+    # hardware self-check); on disagreement trust the longer-validated
+    # narrow kernel for the timed runs.
+    if sweep_cw == 512 and os.environ.get("BENCH_TRY_WIDE", "1") != "0":
         try:
-            os.environ["BLG_SWEEP_CW"] = "512"
-            out_w, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
+            os.environ["BLG_SWEEP_CW"] = "128"
+            out_n, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
                                     w_hint, s_hint)
-            if np.array_equal(np.asarray(out_w), out_np):
-                sweep_cw = 512
+            if not np.array_equal(np.asarray(out_n), out_np):
+                sweep_cw = 128
+                out_np = np.asarray(out_n)
             else:
                 del os.environ["BLG_SWEEP_CW"]
         except Exception:
             os.environ.pop("BLG_SWEEP_CW", None)
-    elif os.environ.get("BLG_SWEEP_CW") == "512":
-        sweep_cw = 512
 
     # Same opportunistic validation for the fused single-dispatch kernel
     # (phase A + B in one Pallas call, no HBM roundtrip / host sync).

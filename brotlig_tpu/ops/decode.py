@@ -526,10 +526,12 @@ def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
         from . import pallas_decode as PD
         if os.environ.get("BLG_FUSED", "0") == "1":
             # single-dispatch fused kernel (phase A + B, no HBM roundtrip,
-            # no inter-phase host sync); opt-in until Mosaic-validated on
-            # hardware — bench.py auto-tries it
-            sweep_cw = (512 if os.environ.get("BLG_SWEEP_CW") == "512"
-                        else 128)
+            # no inter-phase host sync); Mosaic-validated byte-exact on
+            # hardware 2026-08-18, speed-neutral on this host (its HBM/
+            # sync savings are a bare-metal term) — opt-in, bench.py
+            # auto-tries it
+            sweep_cw = (128 if os.environ.get("BLG_SWEEP_CW") == "128"
+                        else 512)
             out = PD.decode_fused_pallas(
                 words, in_sizes, page_size, max_cmds,
                 PD.wl_bucket(s_hint), _pallas_interpret(), sweep_cw)
@@ -573,8 +575,11 @@ def _finish_pallas_state(data, page_size: int, max_cmds: int):
     if os.environ.get("BLG_PALLAS_B", "1") != "0":
         npd = jnp.stack([npostfix, ndirect], axis=1)
         # read per call (not at trace time) so bench.py can flip the wide
-        # sweep on/off between runs; the static arg keys the jit cache
-        sweep_cw = 512 if os.environ.get("BLG_SWEEP_CW") == "512" else 128
+        # sweep on/off between runs; the static arg keys the jit cache.
+        # Default 512 since its hardware validation (byte-identical to the
+        # 128 kernel, -34% batch decode time same-window, 2026-08-18);
+        # BLG_SWEEP_CW=128 forces the narrow kernel.
+        sweep_cw = 128 if os.environ.get("BLG_SWEEP_CW") == "128" else 512
         out_pages = PD.finish_decode_pallas(
             ncmds, lit_t, chs, chc, cmd_t, npd, page_size, cbucket,
             rbucket, _pallas_interpret(), sweep_cw)

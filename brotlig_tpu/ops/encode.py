@@ -38,9 +38,13 @@ MIN_MATCH = 4
 # quality/speed knob: nearest same-hash predecessors probed per position.
 # Measured on the text corpus (hybrid path): K=2 -> 4.50x, 4 -> 4.70x,
 # 8 -> 4.99x (native q11 chain search: 6.02x); cost is ~linear in K.
-# Default 8 since round 2: the reference point is q11 (quality-first),
-# and K=8 closes the device-full text gap by 5.8% (86284 -> 81308 B).
-NUM_CANDIDATES = int(_os.environ.get("BLG_CANDS", "8"))
+# Default 8 -> 16 since round 2: the reference point is q11
+# (quality-first); K=8 closed the device-full text gap by 5.8%
+# (86284 -> 81308 B) and K=16 a further 1.8% on text under the DP parse
+# (55336 -> 54316 B on the 400 KB A/B; structured/repetitive unchanged —
+# their residual is cost-model, not candidates). Deeper DP iteration
+# (BLG_DP_ITERS=5) measured neutral-to-worse; keep 3.
+NUM_CANDIDATES = int(_os.environ.get("BLG_CANDS", "16"))
 EXT_ROUNDS = 3                # contiguous LCP cap = EXT_ROUNDS * 64 bytes
                               # (longer matches chain in log depth below)
 

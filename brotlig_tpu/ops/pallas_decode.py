@@ -837,15 +837,20 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
         ncmd_pad = ncmdch * 128
         nrec_pad = nrecch * 128
 
+        def g2d(row, idx3):
+            """Gather one [pb,128] row at [SUB,pb,128] lane indices
+            (0..127) as SUB static 2D gathers — Mosaic lowers only 2D
+            gather, so the broadcast-to-3D formulation does not compile."""
+            return jnp.stack([jnp.take_along_axis(row, idx3[q], axis=1)
+                              for q in range(SUB)], axis=0)
+
         def sub_ladder(rows, idx):
             """Gather rows[t][...] at idx (values 0..511): subrow t =
             idx >> 7, lane = idx & 127. rows: list of 4 [pb,128]."""
             out = jnp.zeros((SUB, pb, 128), I32)
             t_of = idx >> 7
             for t in range(SUB):
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(rows[t][None], (SUB, pb, 128)),
-                    idx & 127, axis=2)
+                g = g2d(rows[t], idx & 127)
                 out = jnp.where(t_of == t, g, out)
             return out
 
@@ -936,23 +941,18 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                     rkmin, rkmax + 1, rbody,
                     (jnp.zeros((pb, 128), I32),
                      jnp.zeros((pb, 128), I32)))
-                rw0b = jnp.broadcast_to(rw0[None], (SUB, pb, 128))
-                rw1b = jnp.broadcast_to(rw1[None], (SUB, pb, 128))
 
                 ll = jnp.zeros((SUB, pb, 128), I32)
                 for step in (128, 64, 32, 16, 8, 4, 2, 1):
                     pr = ll + step
                     prc = jnp.clip(pr, 0, 255)
-                    v = jnp.where(
-                        prc < 128,
-                        jnp.take_along_axis(rw0b, prc & 127, axis=2),
-                        jnp.take_along_axis(rw1b, prc & 127, axis=2))
+                    v = jnp.where(prc < 128,
+                                  g2d(rw0, prc & 127),
+                                  g2d(rw1, prc & 127))
                     ll = jnp.where((pr <= 255) & (v <= lid), pr, ll)
-                sv = jnp.where(
-                    ll < 128,
-                    jnp.take_along_axis(rw0b, ll & 127, axis=2),
-                    jnp.take_along_axis(rw1b, jnp.clip(ll - 128, 0, 127),
-                                        axis=2))
+                sv = jnp.where(ll < 128,
+                               g2d(rw0, ll & 127),
+                               g2d(rw1, jnp.clip(ll - 128, 0, 127)))
                 ok = on & (ll < 255)
                 cov = jnp.where(ok, lc + t * 255 + ll, cov)
                 start_of = jnp.where(ok, sv, start_of)
@@ -978,10 +978,7 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                 on = pend != 0
                 k = jnp.min(jnp.where(on, lwch, cb4))
                 row = lit_ref[jnp.clip(k, 0, cb4 - 1)]
-                w_ = jnp.take_along_axis(
-                    jnp.broadcast_to(row[None], (SUB, pb, 128)),
-                    llane, axis=2)
-                g = (w_ >> lbyte) & 255
+                g = (g2d(row, llane) >> lbyte) & 255
                 hit = on & (lwch == k)
                 return (jnp.where(hit, g, byte), jnp.where(hit, 0, pend))
 
@@ -1000,10 +997,7 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                 on = pend != 0
                 k = jnp.min(jnp.where(on, cwch, ngrp))
                 row = out_ref[jnp.clip(k, 0, ngrp - 1)]
-                w_ = jnp.take_along_axis(
-                    jnp.broadcast_to(row[None], (SUB, pb, 128)),
-                    clane, axis=2)
-                g = (w_ >> cbyte) & 255
+                g = (g2d(row, clane) >> cbyte) & 255
                 hit = on & (cwch == k)
                 return (jnp.where(hit, g, byte), jnp.where(hit, 0, pend))
 

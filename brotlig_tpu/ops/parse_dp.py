@@ -375,7 +375,7 @@ def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
     return ins_o, cpy_o, dist_o, nc_o
 
 
-def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = 3,
+def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = None,
                      B: int = 32, W: int = 512, R: int = 16,
                      greedy_cmds=None):
     """Two-pass optimal parse on device (greedy stats -> DP, iterated).
@@ -388,6 +388,11 @@ def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = 3,
     (brotlig_encode.cpp::ParseOptimal, ring-aware iters=3).
     greedy_cmds: optional precomputed find_commands output to seed the
     cost model (avoids recomputing the match scan)."""
+    if iters is None:
+        # cost-model iterations (native ring-aware default: 3); env knob
+        # for quality/compile-time experiments
+        import os
+        iters = int(os.environ.get("BLG_DP_ITERS", "3"))
     pages = jnp.asarray(pages)
     sizes = jnp.asarray(in_sizes)
     if greedy_cmds is None:
