@@ -75,11 +75,14 @@ def decompressed_size(data: bytes) -> int:
     return _cpu.decompressed_size(data)
 
 
-def decode(data: bytes, backend: str = "auto") -> bytes:
+def decode(data: bytes, backend: str = "auto", feedback=None) -> bytes:
     """Decode a Brotli-G container.
 
     backend: "tpu" forces the JAX path, "cpu" the scalar oracle, "auto"
     prefers TPU when a jax device is available.
+    feedback: optional callable(progress 0..100) -> bool invoked per device
+    batch on the TPU path (decode analog of BROTLIG_Feedback_Proc,
+    BrotligDecoder.cpp:318-325); returning True raises errors.Aborted.
     """
     if backend == "cpu":
         return decode_cpu(data)
@@ -91,7 +94,7 @@ def decode(data: bytes, backend: str = "auto") -> bytes:
         return decode_cpu(data)
     if backend in ("tpu", "auto"):
         try:
-            return decode_stream_jax(data)
+            return decode_stream_jax(data, feedback=feedback)
         except NotImplementedError:
             if backend == "tpu":
                 raise

@@ -128,13 +128,17 @@ def main(argv=None) -> int:
         dc.check()
 
     # ESC abort watcher (reference brotlig_cli.cpp:329-365): on a TTY, a
-    # raw-mode reader thread flags ESC and the encode feedback hook aborts
+    # raw-mode reader thread flags ESC and the feedback hook aborts —
+    # wired on both the encode and the decode side
+    # (BrotligDecoder.cpp:318-325)
     abort_flag = {"esc": False}
     watcher = None
-    if compressing and not args.no_abort_key and sys.stdin.isatty():
+    if not args.no_abort_key and sys.stdin.isatty():
         watcher = _start_esc_watcher(abort_flag)
     feedback = ((lambda _mt, _msg: abort_flag["esc"])
                 if watcher is not None else None)
+    dec_feedback = ((lambda _progress: abort_flag["esc"])
+                    if watcher is not None else None)
 
     from .format.errors import Aborted
     best = None
@@ -146,7 +150,8 @@ def main(argv=None) -> int:
                                  dc_params=dc, backend=args.encode_backend,
                                  feedback=feedback)
             else:
-                out = api.decode(data, backend=args.backend)
+                out = api.decode(data, backend=args.backend,
+                                 feedback=dec_feedback)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
     except Aborted:

@@ -36,6 +36,8 @@ from __future__ import annotations
 import bisect
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -375,7 +377,8 @@ def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
     return ins_o, cpy_o, dist_o, nc_o
 
 
-def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = None,
+def find_commands_dp(pages, in_sizes, max_cmds: int,
+                     iters: int | None = None,
                      B: int = 32, W: int = 512, R: int = 16,
                      greedy_cmds=None):
     """Two-pass optimal parse on device (greedy stats -> DP, iterated).
@@ -391,7 +394,6 @@ def find_commands_dp(pages, in_sizes, max_cmds: int, iters: int = None,
     if iters is None:
         # cost-model iterations (native ring-aware default: 3); env knob
         # for quality/compile-time experiments
-        import os
         iters = int(os.environ.get("BLG_DP_ITERS", "3"))
     pages = jnp.asarray(pages)
     sizes = jnp.asarray(in_sizes)

@@ -87,6 +87,64 @@ def parse_page_headers_full(words: jnp.ndarray, in_sizes: jnp.ndarray):
     return npostfix, ndirect, isdelta, lane_bitpos, stream_bytes
 
 
+# Bits of page header + size table never exceed 8 + 20 + 5 + 32*18 < 1024
+# (widths derive from in_size <= 128 KiB), so header parsing only needs the
+# first HEADER_WORDS words of each page — slicing the words operand to this
+# keeps every peek_bits gather off the full page buffer (XLA:TPU gathers
+# scan the whole operand; see PERF.md).
+HEADER_WORDS = 32
+
+
+def narrow_stream_view(words: jnp.ndarray, stream_bytes: jnp.ndarray,
+                       tl: int):
+    """Compact per-stream table view: the first `tl` words of each of the
+    32 sub-streams, stream-major — buf[p, s*tl + w] = bytes
+    [stream_bytes[p,s] + 4w, +4) of page p.
+
+    The three Huffman tables live in the first <=30 words of every stream
+    (commands <=23 RLE items x <=12 bits + cl codes, see BrotligHuffman.cpp
+    round-robin storage), but their bit positions are spread across the
+    whole compressed page, so peeking them against the full words operand
+    costs ~140 full-operand scans. Re-basing load_table onto this
+    32*tl-word view (tl=64 -> 8 KB/page) makes those scans negligible.
+
+    Returns (view [P, 32*tl] uint32, bp0 [P, 32] flat bit positions of
+    each stream's start within the view). Positions inside the view
+    advance intra-stream only (tables + speculative-RLE drift < 32 words
+    < tl), so load_table needs no changes — hand it (view, bp0) in place
+    of (words, lane_bitpos) and convert the returned positions back with
+    `stream_bytes*8 + (bp - bp0)`."""
+    P, W = words.shape
+    w_idx = jnp.arange(tl + 1, dtype=I32)
+    byte0 = stream_bytes[:, :, None] + 4 * w_idx[None, None, :]
+    flat = byte0.reshape(P, 32 * (tl + 1))
+    lo_i = jnp.clip(flat >> 2, 0, W - 1)
+    g = jnp.take_along_axis(words, lo_i, axis=1).astype(U32) \
+        .reshape(P, 32, tl + 1)
+    sh = ((byte0 & 3) * 8).astype(U32)
+    shl = sh[:, :, :tl]
+    val = (g[:, :, :tl] >> shl) | jnp.where(
+        shl == 0, jnp.uint32(0),
+        g[:, :, 1:] << (jnp.uint32(32) - shl))
+    view = val.reshape(P, 32 * tl)
+    lane = jnp.arange(32, dtype=I32)[None, :]
+    bp0 = jnp.broadcast_to(lane * (tl * 32), stream_bytes.shape)
+    return view, bp0
+
+
+def stream_view_from_interleaved(buf3: jnp.ndarray, tl: int):
+    """Same view as narrow_stream_view but sliced out of an already
+    word-round-robin interleaved buffer [Wc, P, 128] (word w of stream s
+    at flat w*32+s) — no extra full-operand gather."""
+    tlc = tl * 32 // 128
+    P = buf3.shape[1]
+    sub = buf3[:tlc].transpose(1, 0, 2).reshape(P, tl, 32)
+    view = sub.transpose(0, 2, 1).reshape(P, 32 * tl).astype(U32)
+    lane = jnp.arange(32, dtype=I32)[None, :]
+    bp0 = jnp.broadcast_to(lane * (tl * 32), (P, 32))
+    return view, bp0
+
+
 # ---------------------------------------------------------------------------
 # Canonical range-search structures
 # ---------------------------------------------------------------------------

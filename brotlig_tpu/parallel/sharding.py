@@ -50,6 +50,43 @@ def decode_pages_sharded(words, in_sizes, page_size: int, mesh: Mesh):
     return out, sym[8]
 
 
+def decode_pages_sharded_pallas(words, in_sizes, page_size: int,
+                                mesh: Mesh, wl: int, sweep_cw: int = 512,
+                                interpret: bool | None = None):
+    """The flagship Pallas route under shard_map: every mesh shard runs
+    the fused single-dispatch decode kernel (phase A + B in one
+    pallas_call) on its page subset — the whole-decoder-per-workgroup
+    model of the reference (BrotliGCompute.hlsl:1755-1882) mapped onto
+    SPMD shards. No collectives: pages are independent by format design.
+
+    words/in_sizes: [P, W]/[P] with P divisible by the mesh size.
+    wl: per-stream word capacity (pallas_decode.wl_bucket of the host
+    hint). Returns (out [P, page_size] uint8, isdelta [P]), sharded."""
+    from ..ops import pallas_decode as PD
+    from ..ops.decode import _pallas_interpret
+
+    if interpret is None:
+        interpret = _pallas_interpret()
+    max_cmds = max_cmds_for(page_size)
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    shard = NamedSharding(mesh, spec)
+    words = jax.device_put(words, shard)
+    in_sizes = jax.device_put(in_sizes, shard)
+
+    def step(w, s):
+        out, isdelta, _ncmds, _stats = PD.decode_fused_pallas.__wrapped__(
+            w, s, page_size, max_cmds, wl, interpret, sweep_cw)
+        return out, isdelta
+
+    # check_vma off: pallas_call outputs carry no varying-mesh-axes
+    # annotation for the checker to verify (each shard's kernel touches
+    # only its own pages — no cross-shard aliasing to detect)
+    fn = jax.shard_map(step, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    return jax.jit(fn)(words, in_sizes)
+
+
 def decode_stream_sharded(data: bytes, mesh: Mesh | None = None) -> bytes:
     """Stream-level decode with pages sharded across the mesh.
 
@@ -57,50 +94,24 @@ def decode_stream_sharded(data: bytes, mesh: Mesh | None = None) -> bytes:
     pages are padded into a [P, W] batch (P padded to a mesh multiple with
     empty dummy pages), decoded SPMD, and gathered in stream order.
     """
-    from ..format.headers import StreamHeader, PreconditionHeader, \
-        unpack_page_table
-    from ..format.precondition import (DataConditionParams,
-                                       delta_decode_page, decondition)
-    from ..refimpl.page_encoder import encode_page
+    from ..format.headers import parse_container
+    from ..format.precondition import delta_decode_page, decondition
 
     if mesh is None:
         mesh = make_mesh()
-    header = StreamHeader.unpack(data)
-    pos = C.STREAM_HEADER_SIZE_BYTES
+    info = parse_container(data)
+    header, dc_params = info.header, info.dc_params
     if header.num_pages == 0:
         return b""
-
-    dc_params = None
-    if header.preconditioned:
-        ph = PreconditionHeader.unpack(data[pos:])
-        pos += C.PRECON_HEADER_SIZE_BYTES
-        dc_params = DataConditionParams(
-            precondition=True, swizzle=ph.swizzled, format=ph.data_format,
-            num_mip_levels=ph.num_mips,
-            pitch_d3d12_aligned=ph.pitch_d3d12_aligned)
-        dc_params.width_in_blocks[0] = ph.width_in_blocks
-        dc_params.height_in_blocks[0] = ph.height_in_blocks
-        dc_params.pitch_in_bytes[0] = ph.pitch_in_bytes
-
-    num_pages = header.num_pages
     page_size = header.page_size
-    out_size = header.uncompressed_size
-    if dc_params is not None:
-        dc_params.initialize(out_size)
-    offsets, sizes = unpack_page_table(data[pos:], num_pages)
-    payload = data[pos + num_pages * 4:]
-
-    page_out_sizes = [
-        header.last_page_size if (i == num_pages - 1
-                                  and header.last_page_size) else page_size
-        for i in range(num_pages)]
-    raw_idx = [i for i in range(num_pages)
-               if int(sizes[i]) == page_out_sizes[i]]
-    comp_idx = [i for i in range(num_pages)
-                if int(sizes[i]) != page_out_sizes[i]]
+    out_size = info.out_size
+    offsets, sizes = info.offsets, info.sizes
+    payload = data  # offsets are absolute
+    page_out_sizes = info.page_out_sizes
+    comp_idx = info.compressed_page_indices()
 
     out = bytearray(out_size)
-    for i in raw_idx:
+    for i in info.raw_page_indices():
         off = int(offsets[i])
         out[i * page_size: i * page_size + page_out_sizes[i]] = \
             payload[off: off + page_out_sizes[i]]

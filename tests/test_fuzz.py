@@ -53,20 +53,19 @@ class TestFuzz:
             except (ValueError, NotImplementedError):
                 pass
 
-    def test_tpu_never_crashes(self, blob, monkeypatch):
+    def test_tpu_never_crashes(self, blob):
         from brotlig_tpu.ops.decode import decode_stream_jax
         # Route through the XLA wavefront (the fuzz target is the shared
         # host-side stream validation + decode robustness): corrupt
         # payloads produce data-dependent bucket shapes, and each new
         # shape costs ~20s of interpret-mode Pallas compile on CPU.
         # A small pallas-route sample runs in test_tpu_pallas_route_fuzz.
-        monkeypatch.setenv("BLG_PALLAS", "0")
         rng = np.random.default_rng(2)
         # batch_pages=1 pins the batch shape: corrupted page counts and
         # truncations then share one compiled program per words-bucket
         for c in corruptions(blob, rng, 32):
             try:
-                decode_stream_jax(c, batch_pages=1)
+                decode_stream_jax(c, batch_pages=1, variant="xla")
             except (BrotligError, ValueError, IndexError):
                 pass
 
@@ -84,13 +83,12 @@ class TestFuzz:
             except (BrotligError, ValueError, IndexError):
                 pass
 
-    def test_tpu_targeted_header_corruptions(self, blob, monkeypatch):
+    def test_tpu_targeted_header_corruptions(self, blob):
         """Deterministic high-value corruption targets for the TPU route:
         stream header fields, page header byte, size-table region, and
         the Huffman table area of page 0 (XLA route, see above)."""
         from brotlig_tpu.format.headers import StreamHeader
         from brotlig_tpu.ops.decode import decode_stream_jax
-        monkeypatch.setenv("BLG_PALLAS", "0")
         payload0 = 8 + 4 * int.from_bytes(blob[2:4], "little")
         # stream header bytes + page-0 header byte + Huffman table area.
         # Deep-payload flips are covered by the random corruption tests
@@ -118,7 +116,8 @@ class TestFuzz:
                 except BrotligError:
                     pass  # header rejects — the cheap, valuable case
                 try:
-                    decode_stream_jax(bytes(b), batch_pages=1)
+                    decode_stream_jax(bytes(b), batch_pages=1,
+                                      variant="xla")
                 except (BrotligError, ValueError, IndexError):
                     pass
 

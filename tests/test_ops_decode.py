@@ -117,6 +117,20 @@ class TestStreamJax:
         blob = brotlig_tpu.encode(data)
         assert brotlig_tpu.decode(blob) == data
 
+    def test_decode_feedback_progress_and_abort(self):
+        """Decode-side feedback proc (BrotligDecoder.cpp:318-325 analog):
+        monotone progress per device batch; returning True aborts."""
+        from brotlig_tpu.format.errors import Aborted
+        data = make_data("text", 65536 * 3, seed=11)
+        blob = encode(data)
+        seen = []
+        assert decode_stream_jax(
+            blob, batch_pages=1,
+            feedback=lambda p: (seen.append(p), False)[1]) == data
+        assert seen and seen == sorted(seen) and seen[-1] == 100.0
+        with pytest.raises(Aborted):
+            decode_stream_jax(blob, batch_pages=1, feedback=lambda p: True)
+
 
 class TestDevicePrecondition:
     @pytest.mark.parametrize("swizzle,delta", [(False, False), (True, True),

@@ -73,38 +73,29 @@ class TestPallasPhaseA:
             nlit = int(np.asarray(ins_x)[p, : ncmds_x[p]].sum())
             assert (litbuf_p[p, :nlit] == litbuf_x[p, :nlit]).all()
 
-    def test_end_to_end_decode(self, mixed_batch):
+    @pytest.mark.parametrize("cw", [128, 512])
+    def test_end_to_end_decode_two_phase(self, mixed_batch, cw):
+        """Two-phase pipeline (phase-A kernel + sweep kernel) with both
+        sweep widths: 512 is the hardware-validated default, 128 the
+        fallback bench.py trusts on disagreement."""
         n, keep, words, sizes = mixed_batch
         s_hint = PD.stream_words_hint([c for c, _ in keep])
         out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
-                                 w_hint=None, s_hint=s_hint)
+                                 w_hint=None, s_hint=s_hint,
+                                 variant="two_phase", sweep_cw=cw)
         out = np.asarray(out)
         for p, (_, d) in enumerate(keep):
             assert out[p, : len(d)].tobytes() == d
 
-    def test_end_to_end_decode_wide_sweep(self, mixed_batch, monkeypatch):
-        """The 512-byte-group phase-B kernel (BLG_SWEEP_CW=512 opt-in
-        until Mosaic-validated on hardware) must agree byte-for-byte."""
-        monkeypatch.setenv("BLG_SWEEP_CW", "512")
+    @pytest.mark.parametrize("cw", [128, 512])
+    def test_end_to_end_decode_fused(self, mixed_batch, cw):
+        """The fused single-dispatch kernel (the default variant) must
+        agree byte-for-byte, with both sweep widths."""
         n, keep, words, sizes = mixed_batch
         s_hint = PD.stream_words_hint([c for c, _ in keep])
         out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
-                                 w_hint=None, s_hint=s_hint)
-        out = np.asarray(out)
-        for p, (_, d) in enumerate(keep):
-            assert out[p, : len(d)].tobytes() == d
-
-    @pytest.mark.parametrize("cw", ["128", "512"])
-    def test_end_to_end_decode_fused(self, mixed_batch, monkeypatch, cw):
-        """The fused single-dispatch kernel (BLG_FUSED=1 opt-in until
-        Mosaic-validated on hardware) must agree byte-for-byte, with both
-        sweep widths."""
-        monkeypatch.setenv("BLG_FUSED", "1")
-        monkeypatch.setenv("BLG_SWEEP_CW", cw)
-        n, keep, words, sizes = mixed_batch
-        s_hint = PD.stream_words_hint([c for c, _ in keep])
-        out, _isd = decode_pages(words, sizes, n, max_cmds_for(n),
-                                 w_hint=None, s_hint=s_hint)
+                                 w_hint=None, s_hint=s_hint,
+                                 variant="fused", sweep_cw=cw)
         out = np.asarray(out)
         for p, (_, d) in enumerate(keep):
             assert out[p, : len(d)].tobytes() == d

@@ -39,6 +39,43 @@ class TestShardedDecode:
         assert pad_batch(8, 8) == 8
         assert pad_batch(1, 8) == 8
 
+    def test_pallas_route_sharded(self, cpu_mesh):
+        """The flagship fused Pallas kernel under shard_map on the 8-CPU
+        mesh (interpret mode) must match the single-device route
+        byte-for-byte (round-2 VERDICT item 5)."""
+        import jax.numpy as jnp
+        from brotlig_tpu.ops import pallas_decode as PD
+        from brotlig_tpu.ops.decode import decode_pages, max_cmds_for
+        from brotlig_tpu.parallel.sharding import decode_pages_sharded_pallas
+
+        n = C.MIN_PAGE_SIZE
+        from brotlig_tpu.refimpl.page_encoder import encode_page
+        kinds = ["text", "repetitive", "structured", "text",
+                 "repetitive", "text", "structured", "text"]
+        datas = [make_data(k, 2000 + 300 * i, seed=40 + i)
+                 for i, k in enumerate(kinds)]
+        comps = [encode_page(d, is_last=True) for d in datas]
+        assert all(c is not None for c in comps)
+        W = n // 4 + 2
+        arr = np.zeros((8, W * 4), dtype=np.uint8)
+        sizes = np.zeros(8, dtype=np.int32)
+        for i, c in enumerate(comps):
+            arr[i, : len(c)] = np.frombuffer(c, dtype=np.uint8)
+            sizes[i] = len(c)
+        words = jnp.asarray(arr.view(np.uint32).reshape(8, W))
+        sizes_j = jnp.asarray(sizes)
+        wl = PD.wl_bucket(PD.stream_words_hint(comps))
+
+        out_s, isd_s = decode_pages_sharded_pallas(
+            words, sizes_j, n, cpu_mesh, wl, interpret=True)
+        out_1, isd_1 = decode_pages(words, sizes_j, n, max_cmds_for(n),
+                                    s_hint=PD.stream_words_hint(comps),
+                                    variant="fused")
+        assert np.array_equal(np.asarray(out_s), np.asarray(out_1))
+        assert np.array_equal(np.asarray(isd_s), np.asarray(isd_1))
+        for i, d in enumerate(datas):
+            assert np.asarray(out_s)[i, : len(d)].tobytes() == d
+
 
 class TestChunkedBundle:
     def test_chunked_equals_unchunked(self):
@@ -74,6 +111,20 @@ class TestArchives:
                                batch_pages=2)
         for i in range(3):
             assert outs[i] == datas[i]
+
+    def test_decode_archives_to_dir(self, tmp_path):
+        """Shared-storage flow: outputs land as files keyed by archive
+        index, zero gather traffic (the 100 GB config-5 shape)."""
+        from brotlig_tpu.parallel.runtime import decode_archives_to_dir
+        datas = [make_data("text", 35_000 + i * 900, seed=70 + i)
+                 for i in range(3)]
+        blobs = [encode(d, page_size=C.MIN_PAGE_SIZE) for d in datas]
+        paths = decode_archives_to_dir(blobs, tmp_path / "out",
+                                       batch_pages=2, process=(0, 1))
+        assert len(paths) == 3
+        for i, d in enumerate(datas):
+            assert (tmp_path / "out" / f"archive_{i:05d}.bin"
+                    ).read_bytes() == d
 
     def test_batched_multi_archive(self):
         """Pages of many archives pooled into shared device batches."""
@@ -164,9 +215,11 @@ open({str(tmp_path)!r} + f"/out_{{pid}}.pkl", "wb").write(
         import sys as _sys
         import os as _os
         from brotlig_tpu import native
-        # identical sizes keep the workers' compile/decode times aligned
-        # (the gloo key exchange only waits ~30s for the peer)
-        datas = [make_data("text", 30_000, seed=90 + i) for i in range(5)]
+        # near-identical sizes keep the workers' compile/decode times
+        # aligned (the gloo key exchange only waits ~30s for the peer);
+        # the small spread exercises the gather's ragged per-owner offsets
+        datas = [make_data("text", 30_000 + 700 * i, seed=90 + i)
+                 for i in range(5)]
         blobs = [native.encode(d, page_size=32768) for d in datas]
         (tmp_path / "blobs.pkl").write_bytes(pickle.dumps(blobs))
         with socket.socket() as s:
