@@ -43,3 +43,37 @@ def enable(path: str = "/root/.cache/jax_brotlig") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def map_region_count() -> int:
+    """This process's current mmap-region count (Linux)."""
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+# Comfortable margin under the Linux default vm.max_map_count (65530).
+MAP_REGION_SOFT_LIMIT = 40_000
+
+
+def clear_if_bloated(limit: int = MAP_REGION_SOFT_LIMIT) -> bool:
+    """Drop jax's in-process executable caches when this process holds too
+    many mmap regions.
+
+    Every live compiled XLA:CPU executable pins LLVM-JIT code/data
+    mappings. A long-lived process that keeps compiling new programs (the
+    cold test suite, a many-shape decode service) accumulates mmap regions
+    until the kernel's vm.max_map_count, at which point the NEXT JIT
+    allocation fails inside LLVM and the process aborts or segfaults
+    (measured here: death at ~64.4K maps with the 65530 default, always at
+    ~35% of a cold suite run). Recompiles after a clear are served from
+    the persistent on-disk cache as cheap loads.
+
+    Returns True when a clear was performed."""
+    if map_region_count() < limit:
+        return False
+    import jax
+    jax.clear_caches()
+    return True

@@ -27,3 +27,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from brotlig_tpu.utils import jaxcache  # noqa: E402
 
 jaxcache.enable()
+
+
+# The full suite compiles hundreds of XLA:CPU executables; each holds
+# LLVM-JIT mmap regions for as long as jax's in-process executable caches
+# keep it alive. A single cold pytest process accumulates ~60K maps and
+# then hits the kernel's vm.max_map_count (65530 default) at ~35% of the
+# suite — mmap fails inside LLVM and the process aborts (the round-2
+# "cold suite segfault": crash sites put_executable_and_time /
+# backend_compile_and_load are simply wherever the next JIT allocation
+# lands). Dropping compiled executables between modules caps the map
+# count; the persistent on-disk cache (jaxcache) makes the recompiles
+# cheap loads. See brotlig_tpu/utils/jaxcache.py::clear_if_bloated.
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "brotlig_cache_boundary: first test of a module; may clear jax "
+        "caches to bound JIT mmap regions")
+
+
+def pytest_collection_modifyitems(items):
+    last = None
+    for item in items:
+        mod = item.module.__name__
+        if last is not None and mod != last:
+            item.add_marker("brotlig_cache_boundary")
+        last = mod
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_mmap_regions(request):
+    if request.node.get_closest_marker("brotlig_cache_boundary"):
+        jaxcache.clear_if_bloated()
+    yield
