@@ -22,7 +22,6 @@ import numpy as np
 
 import jax
 
-from ..format import constants as C
 from ..ops.decode import decode_stream_jax
 
 
@@ -66,13 +65,21 @@ def decode_archives_gather(blobs: Sequence[bytes],
     """Decode the local share, then all-gather so EVERY process holds all
     outputs in archive order.
 
-    The cross-host step is one `multihost_utils.process_allgather` over a
-    [n_archives, max_out] uint8 plane: processes own disjoint rows (the
-    static interleave), so OR-reducing the gathered copies assembles the
-    ordered result — the multi-host analog of the reference's shared
-    output buffer + atomic work queue (BrotligDecoder.cpp:296-329).
-    Requires jax.distributed to be initialized (or nprocs == 1, where it
-    degrades to a local decode)."""
+    The exchange is owned-bytes-only: each process concatenates just its
+    OWN archives' outputs into one ragged buffer (padded to the largest
+    per-process share), and ONE `multihost_utils.process_allgather` moves
+    them. Every receiver gets each archive's bytes exactly once —
+    O(total_bytes) per receiver, the information-theoretic floor for
+    "every process holds every output" — instead of the round-2 full
+    [n_archives, max_out] plane whose traffic was O(total * nprocs) with
+    an OR-reduce over mostly-zero rows. Per-archive offsets within each
+    owner's buffer are recomputed identically on every process from the
+    stream headers (out sizes are header-derived, no size exchange
+    needed). The multi-host analog of the reference's shared output
+    buffer + work queue (BrotligDecoder.cpp:296-329). Requires
+    jax.distributed (or nprocs == 1, where it degrades to a local
+    decode). For the zero-traffic 100 GB flow see
+    decode_archives_to_dir."""
     from ..format.headers import StreamHeader
 
     local = decode_archives(blobs, batch_pages, process)
@@ -85,13 +92,46 @@ def decode_archives_gather(blobs: Sequence[bytes],
     from jax.experimental import multihost_utils
 
     n = len(blobs)
-    maxlen = max(out_sizes) if out_sizes else 0
-    buf = np.zeros((n, max(maxlen, 1)), np.uint8)
+    # owner p's buffer layout: archives p, p+nproc, ... concatenated
+    offsets = {}
+    share = [0] * nproc
+    for i in range(n):
+        p = i % nproc
+        offsets[i] = share[p]
+        share[p] += out_sizes[i]
+    pad = max(max(share), 1)
+    buf = np.zeros(pad, np.uint8)
     for i, data in local.items():
-        buf[i, : len(data)] = np.frombuffer(data, np.uint8)
-    g = multihost_utils.process_allgather(jnp.asarray(buf))
-    full = np.bitwise_or.reduce(np.asarray(g), axis=0)
-    return [full[i, : out_sizes[i]].tobytes() for i in range(n)]
+        buf[offsets[i]: offsets[i] + len(data)] = \
+            np.frombuffer(data, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
+    return [g[i % nproc, offsets[i]: offsets[i] + out_sizes[i]].tobytes()
+            for i in range(n)]
+
+
+def decode_archives_to_dir(blobs: Sequence[bytes], out_dir,
+                           batch_pages: int = 256,
+                           process=None, name=None) -> list:
+    """The shared-storage multi-host flow (BASELINE config 5's 100 GB
+    shape): each process decodes its owned archives and writes them to
+    `out_dir/<name(i)>` — zero inter-host traffic, each archive's bytes
+    move host->storage exactly once. Returns the paths this process
+    wrote. `name(i)` defaults to 'archive_%05d.bin'."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if name is None:
+        name = lambda i: f"archive_{i:05d}.bin"  # noqa: E731
+    paths = []
+    for i in my_archive_indices(len(blobs), process):
+        data = decode_stream_jax(blobs[i], batch_pages=batch_pages)
+        path = os.path.join(out_dir, name(i))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        paths.append(path)
+    return paths
 
 
 def decode_archives_batched(blobs: Sequence[bytes],
@@ -104,10 +144,8 @@ def decode_archives_batched(blobs: Sequence[bytes],
     fixed-size device batches regardless of archive boundaries, so small
     archives amortize like big ones. Outputs keep archive order.
     """
-    from ..format.headers import StreamHeader, PreconditionHeader, \
-        unpack_page_table
-    from ..format.precondition import DataConditionParams
-    from ..ops.decode import decode_pages, max_cmds_for, _batch_pages
+    from ..format.headers import parse_container
+    from ..ops.decode import decode_pages, max_cmds_for
     from ..ops.precondition import postprocess_device
     import jax.numpy as jnp
 
@@ -116,44 +154,30 @@ def decode_archives_batched(blobs: Sequence[bytes],
     # job = (archive, page_index, payload_off, size, out_size)
     jobs_by_psize: dict[int, list] = {}
     for ai, blob in enumerate(blobs):
-        header = StreamHeader.unpack(blob)
-        pos = C.STREAM_HEADER_SIZE_BYTES
-        dc = None
-        if header.preconditioned:
-            ph = PreconditionHeader.unpack(blob[pos:])
-            pos += C.PRECON_HEADER_SIZE_BYTES
-            dc = DataConditionParams(
-                precondition=True, swizzle=ph.swizzled,
-                format=ph.data_format, num_mip_levels=ph.num_mips,
-                pitch_d3d12_aligned=ph.pitch_d3d12_aligned)
-            dc.width_in_blocks[0] = ph.width_in_blocks
-            dc.height_in_blocks[0] = ph.height_in_blocks
-            dc.pitch_in_bytes[0] = ph.pitch_in_bytes
-        out_size = header.uncompressed_size
-        outs.append(bytearray(out_size))
-        if dc is not None:
-            dc.initialize(out_size)
+        info = parse_container(blob)
+        header, dc = info.header, info.dc_params
+        outs.append(bytearray(info.out_size))
         metas.append((header, dc, set()))
-        if header.num_pages == 0:
-            continue
-        offsets, sizes = unpack_page_table(blob[pos:], header.num_pages)
-        payload_base = pos + header.num_pages * 4
         ps = header.page_size
-        for i in range(header.num_pages):
-            posz = (header.last_page_size
-                    if (i == header.num_pages - 1 and header.last_page_size)
-                    else ps)
-            off = payload_base + int(offsets[i])
-            sz = int(sizes[i])
-            if sz == posz:  # raw page
-                outs[ai][i * ps: i * ps + posz] = blob[off: off + posz]
-            else:
-                jobs_by_psize.setdefault(ps, []).append(
-                    (ai, i, off, sz, posz))
+        for i in info.raw_page_indices():
+            off, posz = int(info.offsets[i]), info.page_out_sizes[i]
+            outs[ai][i * ps: i * ps + posz] = blob[off: off + posz]
+        for i in info.compressed_page_indices():
+            jobs_by_psize.setdefault(ps, []).append(
+                (ai, i, int(info.offsets[i]), int(info.sizes[i]),
+                 info.page_out_sizes[i]))
 
+    from ..ops.pallas_decode import stream_words_hint
     for ps, jobs in jobs_by_psize.items():
         W = ps // 4 + 8
         mc = max_cmds_for(ps)
+        # similar-size pages decode in lockstep (same rule as
+        # decode_stream_jax); hints route the batch to the Pallas kernels
+        jobs.sort(key=lambda j: j[3])
+        w_hint = (max(j[3] for j in jobs) + 3) // 4
+        s_hint = stream_words_hint(
+            [(blobs[ai][off: off + 96], sz)
+             for (ai, _i, off, sz, _po) in jobs])
         for c0 in range(0, len(jobs), batch_pages):
             group = jobs[c0: c0 + batch_pages]
             rows = group + [group[0]] * (batch_pages - len(group)) \
@@ -165,7 +189,7 @@ def decode_archives_batched(blobs: Sequence[bytes],
                 in_sizes[r] = sz
             pages_out, isdelta = decode_pages(
                 jnp.asarray(arr.view(np.uint32).reshape(len(rows), W)),
-                jnp.asarray(in_sizes), ps, mc)
+                jnp.asarray(in_sizes), ps, mc, w_hint, s_hint)
             pages_np = np.asarray(pages_out)
             isdelta_np = np.asarray(isdelta)
             for r, (ai, i, off, sz, posz) in enumerate(group):

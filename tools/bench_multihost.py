@@ -1,11 +1,12 @@
 """Multi-process decode scaling (BASELINE config 5 measurement).
 
-Runs the same archive workload with 1 and 2 worker processes (CPU
-backend, each pinned to a disjoint pair of cores so per-process compute
-is constant) and reports wall time + scaling efficiency
-T1 / (nproc * Tn). The 2-process run uses jax.distributed and finishes
-with the real `decode_archives_gather` ordered all-gather, so the
-measured time includes the cross-process assembly.
+Runs the same archive workload with 1, 2 and 4 worker processes (CPU
+backend, each process pinned to ONE core so per-process compute is
+constant across every point on this 4-core host) and reports wall time +
+scaling efficiency T1 / (nproc * Tn). Multi-process runs use
+jax.distributed and finish with the real `decode_archives_gather`
+owned-bytes ordered all-gather, so the measured time includes the
+cross-process assembly.
 
 Usage: python tools/bench_multihost.py [n_archives] [archive_kb]
 """
@@ -67,7 +68,7 @@ def run(nproc: int, blob_path: str, n_arch: int) -> float:
     procs = []
     t0 = time.perf_counter()
     for pid in range(nproc):
-        cores = f"{2*pid},{2*pid+1}"
+        cores = str(pid)
         procs.append(subprocess.Popen(
             ["taskset", "-c", cores, sys.executable, wpath,
              f"127.0.0.1:{port}", str(nproc), str(pid), blob_path],
@@ -98,12 +99,13 @@ def main():
         pickle.dump(blobs, f)
         path = f.name
     t1, t1d = run(1, path, n_arch)
-    t2, t2d = run(2, path, n_arch)
     print(f"archives={n_arch} x {kb}KiB total={total/1e6:.1f}MB")
     print(f"1-proc: decode {t1d:.2f}s, decode+gather {t1:.2f}s")
-    print(f"2-proc: decode {t2d:.2f}s, decode+gather {t2:.2f}s")
-    print(f"scaling efficiency: decode-only {t1d/(2*t2d):.3f}, "
-          f"with ordered gather {t1/(2*t2):.3f}")
+    for n in (2, 4):
+        tn, tnd = run(n, path, n_arch)
+        print(f"{n}-proc: decode {tnd:.2f}s, decode+gather {tn:.2f}s")
+        print(f"scaling efficiency (n={n}): decode-only "
+              f"{t1d/(n*tnd):.3f}, with ordered gather {t1/(n*tn):.3f}")
 
 
 if __name__ == "__main__":
