@@ -165,57 +165,50 @@ def main():
     from brotlig_tpu.ops.pallas_decode import stream_words_hint
     s_hint = stream_words_hint(comps)   # routes to the Pallas kernels
 
-    # warmup + correctness check. The wide (512-byte-group) phase-B sweep
-    # is the default since its hardware validation (byte-identical to the
-    # narrow kernel, -34% batch time same-window, 2026-08-18); if Mosaic
-    # ever rejects it again, fall back to the narrow kernel.
-    sweep_cw = 128 if os.environ.get("BLG_SWEEP_CW") == "128" else 512
-    try:
-        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
-        out_np = np.asarray(out)
-    except Exception:
-        if sweep_cw == 128:
-            raise
-        sweep_cw = 128
-        os.environ["BLG_SWEEP_CW"] = "128"
-        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
-        out_np = np.asarray(out)
+    # warmup + validation ladder. Kernel variant/sweep width are EXPLICIT
+    # arguments now (BLG_* env is resolved once here at the bench edge,
+    # round-2 VERDICT weak item 6); the ladder steps down fused -> two-
+    # phase -> xla and wide -> narrow on compile failure or byte
+    # disagreement, so a Mosaic regression degrades the bench instead of
+    # aborting it.
+    from brotlig_tpu.ops.decode import env_decode_opts
+    variant, sweep_cw = env_decode_opts()
+
+    def run(v, cw):
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint,
+                              s_hint, v, cw)
+        return np.asarray(out)
+
+    ladder = [(variant, sweep_cw)]
+    if (variant, sweep_cw) == ("fused", 512):      # default: full ladder
+        ladder += [("two_phase", 512), ("two_phase", 128), ("xla", 512)]
+    elif variant != "xla":
+        ladder += [("xla", 512)]
+    out_np = None
+    for v, cw in ladder:
+        try:
+            out_np = run(v, cw)
+            variant, sweep_cw = v, cw
+            break
+        except Exception:
+            continue
+    if out_np is None:                              # every rung failed
+        out_np = run(variant, sweep_cw)             # surface the error
     for i in range(min(4, n_pages)):
         assert out_np[i].tobytes() == pages[i], f"bench page {i} mismatch"
 
-    # Cross-check the two independent sweep kernels byte-for-byte (cheap
-    # hardware self-check); on disagreement trust the longer-validated
-    # narrow kernel for the timed runs.
-    if sweep_cw == 512 and os.environ.get("BENCH_TRY_WIDE", "1") != "0":
+    # Byte cross-check against an independent kernel formulation (cheap
+    # hardware self-check); on disagreement step down to the alternative.
+    if variant != "xla" and os.environ.get("BENCH_CROSSCHECK", "1") != "0":
+        alt = ("two_phase", 128) if (variant, sweep_cw) != \
+            ("two_phase", 128) else ("xla", 512)
         try:
-            os.environ["BLG_SWEEP_CW"] = "128"
-            out_n, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
-                                    w_hint, s_hint)
-            if not np.array_equal(np.asarray(out_n), out_np):
-                sweep_cw = 128
-                out_np = np.asarray(out_n)
-            else:
-                del os.environ["BLG_SWEEP_CW"]
+            out_alt = run(*alt)
+            if not np.array_equal(out_alt, out_np):
+                variant, sweep_cw = alt
+                out_np = out_alt
         except Exception:
-            os.environ.pop("BLG_SWEEP_CW", None)
-
-    # Same opportunistic validation for the fused single-dispatch kernel
-    # (phase A + B in one Pallas call, no HBM roundtrip / host sync).
-    fused = False
-    if os.environ.get("BENCH_TRY_FUSED", "1") != "0" \
-            and "BLG_FUSED" not in os.environ:
-        try:
-            os.environ["BLG_FUSED"] = "1"
-            out_f, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc,
-                                    w_hint, s_hint)
-            if np.array_equal(np.asarray(out_f), out_np):
-                fused = True
-            else:
-                del os.environ["BLG_FUSED"]
-        except Exception:
-            os.environ.pop("BLG_FUSED", None)
-    elif os.environ.get("BLG_FUSED") == "1":
-        fused = True
+            pass
 
     # Timing forces completion by fetching a reduction of the on-device
     # output (the reference GPU bench likewise times the dispatch via
@@ -223,13 +216,15 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint)
+        out, _ = decode_pages(words, sizes_j, PAGE_SIZE, mc, w_hint,
+                              s_hint, variant, sweep_cw)
         int(jnp.sum(out.astype(jnp.uint32)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     gbps = n_pages * PAGE_SIZE / dt / 1e9
 
     enc_gbps, ratio = encode_bench(pages)
+    pc_gbps = precond_bench(variant, sweep_cw)
     print(json.dumps({
         "metric": "decode_throughput",
         "value": round(gbps, 4),
@@ -237,16 +232,73 @@ def main():
         "vs_baseline": round(gbps / BASELINE_CPU_DECODE_GBPS, 4),
         "encode_gbps": round(enc_gbps, 5),
         "encode_ratio": round(ratio, 3),
+        "precond_gbps": round(pc_gbps, 4),
+        "variant": variant,
         "sweep_cw": sweep_cw,
-        "fused": fused,
     }))
+
+
+PRECOND_CACHE = "/tmp/brotlig_bench_bc1_v1.pkl"
+
+
+def precond_bench(variant, sweep_cw):
+    """BASELINE config 3: BC1 texture decode incl. deconditioning.
+
+    A synthetic 2048x2048 BC1 texture (structured block patterns so the
+    sub-streams compress) is encoded once with precondition+swizzle+delta
+    (cached); the timed region is the full stream decode INCLUDING the
+    fused device deconditioning (delta decode + inverse gather)."""
+    if os.environ.get("BENCH_PRECOND", "1") == "0":
+        return 0.0
+    from brotlig_tpu.api import decode as blg_decode, encode as blg_encode
+    from brotlig_tpu.format.precondition import DataConditionParams
+    from brotlig_tpu import format as _fmt  # noqa: F401
+    from brotlig_tpu.format import constants as FC
+
+    w = h = int(os.environ.get("BENCH_TEX_DIM", "2048"))
+    params = DataConditionParams(
+        precondition=True, swizzle=True, delta_encode=True,
+        format=FC.DATA_FORMAT_BC1, width_in_pixels=w, height_in_pixels=h,
+        num_mip_levels=1)
+    reps = int(os.environ.get("BENCH_PRECOND_REPS", "3"))
+    if os.path.exists(PRECOND_CACHE):
+        with open(PRECOND_CACHE, "rb") as f:
+            tex, blob = pickle.load(f)
+    else:
+        r = np.random.default_rng(7)
+        nblocks = (w // 4) * (h // 4)
+        # BC1 block = 2x u16 endpoint colors + 4B indices; correlated
+        # endpoints and low-entropy index planes like real textures
+        c0 = (r.integers(0, 64, nblocks) * 1024 +
+              np.arange(nblocks) % 1024).astype("<u2")
+        c1 = (c0.astype(np.uint32) * 3 // 4).astype("<u2")
+        idx = r.integers(0, 4, (nblocks, 4)).astype(np.uint8)
+        idx = np.repeat(idx, 1, axis=1) * 0x55        # 2-bit rows repeated
+        blocks = np.zeros((nblocks, 8), np.uint8)
+        blocks[:, 0:2] = c0.view(np.uint8).reshape(-1, 2)
+        blocks[:, 2:4] = c1.view(np.uint8).reshape(-1, 2)
+        blocks[:, 4:8] = idx
+        tex = blocks.tobytes()
+        blob = blg_encode(tex, page_size=PAGE_SIZE, dc_params=params,
+                          backend="tpu")   # device condition+delta+match
+        with open(PRECOND_CACHE, "wb") as f:
+            pickle.dump((tex, blob), f)
+
+    out = blg_decode(blob)                       # warm (compile + maps)
+    assert out == tex, "precond bench roundtrip mismatch"
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = blg_decode(blob)
+        times.append(time.perf_counter() - t0)
+    return len(tex) / min(times) / 1e9
 
 
 def encode_bench(pages):
     """Full-device encode throughput + ratio on a subset of the corpus."""
     from brotlig_tpu.ops.encode_pack import encode_pages_device
 
-    n = int(os.environ.get("BENCH_ENC_PAGES", "16"))
+    n = int(os.environ.get("BENCH_ENC_PAGES", "32"))
     reps = int(os.environ.get("BENCH_ENC_REPS", "2"))
     # stride across the (size-sorted) corpus for a representative mix
     stride = max(1, len(pages) // n)

@@ -757,17 +757,35 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256,
         isdelta_pages: set = set()
 
         drained = [0]
+        # Fused-decondition path: decoded pages STAY on device and are
+        # scattered into a resident [num_pages, page_size] plane; the delta
+        # decode + decondition gather then run on that plane with cached
+        # map arrays — no host roundtrip of the uncompressed bytes (ref
+        # writes BCn bytes straight from the decode kernel,
+        # BrotliGCompute.hlsl:978-1031). Bounded to 1 GiB so config-4
+        # multi-GB bundles keep the chunked host assembly.
+        fuse_dc = (dc_params is not None
+                   and header.num_pages * page_size <= (1 << 30))
+        dev_plane = [None]
 
         def drain(slot):
             group, pages_out, isdelta = slot
-            pages_np = np.asarray(pages_out)
             isdelta_np = np.asarray(isdelta)
             for row, i in enumerate(group):
-                chunk = pages_np[row, : page_out_sizes[i]].tobytes()
                 if isdelta_np[row]:
                     isdelta_pages.add(i)
-                out[i * page_size: i * page_size + page_out_sizes[i]] = \
-                    chunk
+            if fuse_dc:
+                if dev_plane[0] is None:
+                    dev_plane[0] = jnp.zeros(
+                        (header.num_pages, page_size), jnp.uint8)
+                rows_ix = jnp.asarray(np.asarray(group, np.int32))
+                dev_plane[0] = dev_plane[0].at[rows_ix].set(
+                    pages_out[: len(group)], unique_indices=True)
+            else:
+                pages_np = np.asarray(pages_out)
+                for row, i in enumerate(group):
+                    out[i * page_size: i * page_size + page_out_sizes[i]] = \
+                        pages_np[row, : page_out_sizes[i]].tobytes()
             drained[0] += len(group)
             if feedback is not None:
                 from ..format.errors import Aborted
@@ -807,9 +825,26 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256,
             drain(slot)
 
     if dc_params is not None:
-        # device-side delta decode + decondition gather
-        from .precondition import postprocess_device
+        from .precondition import (postprocess_device,
+                                   postprocess_flat_device)
         pages_flagged = isdelta_pages if comp_idx else set()
+        if comp_idx and fuse_dc and dev_plane[0] is not None:
+            raw_idx = info.raw_page_indices()
+            if raw_idx:
+                raw_rows = np.zeros((len(raw_idx), page_size), np.uint8)
+                for r, i in enumerate(raw_idx):
+                    off = int(offsets[i])
+                    raw_rows[r, : page_out_sizes[i]] = np.frombuffer(
+                        payload, np.uint8, count=page_out_sizes[i],
+                        offset=off)
+                dev_plane[0] = dev_plane[0].at[
+                    jnp.asarray(np.asarray(raw_idx, np.int32))].set(
+                    jnp.asarray(raw_rows), unique_indices=True)
+            flat = dev_plane[0].reshape(-1)[:out_size]
+            res = postprocess_flat_device(flat, dc_params, page_size,
+                                          pages_flagged)
+            return np.asarray(res).tobytes()
+        # host-assembled fallback (multi-GB bundles / raw-only streams)
         return postprocess_device(bytes(out), dc_params, page_size,
                                   pages_flagged)
     return bytes(out[:out_size])

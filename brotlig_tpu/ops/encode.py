@@ -96,9 +96,20 @@ def _match_len(quads, pos, cand, limit, words: int = MAX_MATCH_WORDS):
 NUM_NEAR = 3        # 4-byte-key candidates exported to the DP parse
 NUM_CANDIDATES_8 = 4  # nearest probes in the 8-byte-key family
 NUM_NEAR_8 = 2      # 8-byte-key candidates exported to the DP parse
+FAST_PROBE_WORDS = 3  # fast tier: candidate ranking LCP cap = 12 bytes
+
+# Probe-rank schedules: which same-hash predecessors (by closeness rank)
+# each probe step visits. MEASURED DEAD END (round 3, tools/ab_parse.py):
+# a geometric schedule (1,2,3,4,5,6,8,10,13,17,22,29,38,50,66,87) reaching
+# depth 87 made ratio WORSE than the 16 nearest ranks — corpus +5.06% vs
+# +4.8% behind native q11, text +9.3% vs +7.8%. Near-dense candidates
+# (cheap distance codes) beat depth reach; do not retry. None = 1..nprobe.
+RANKS_4 = None
+RANKS_8 = None
 
 
-def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
+def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
+                  fast: bool = False):
     """Shared match scan: longest candidate per position (with run-1 and
     log-depth chain extension) plus the NUM_NEAR nearest-predecessor
     candidates.
@@ -109,6 +120,14 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
     relaxes all of them as alternatives (a nearer occurrence has a
     cheaper distance symbol even when shorter); greedy uses only `best`
     (XLA dead-code-eliminates `near` there).
+
+    fast=True is the q1 speed tier: candidates are RANKED by a 12-byte
+    LCP probe (FAST_PROBE_WORDS words, nearest wins ties) and only the
+    winner gets the full 64-byte LCP + capped extension — ~6x fewer
+    [P, S] gathers than ranking every probe at full depth. The run-1
+    pass and the log-depth chain extension below still recover long
+    repeats exactly, so the tier costs ratio only on mid-length matches
+    where a farther candidate out-extends a nearer one past 12 bytes.
     """
     P, S = pages.shape
     limit = in_sizes[:, None]
@@ -117,7 +136,7 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
     quads = _quads(pages)
     cap = 4 * MAX_MATCH_WORDS
 
-    def probe_family(h, nprobe, nnear):
+    def probe_family(h, nprobe, nnear, ranks=None):
         """Probe the `nprobe` nearest same-hash predecessors of every
         position; returns (best_len, best_dist, near_len, near_dist) with
         near_* capturing probes 1..nnear (smallest distance first).
@@ -131,26 +150,40 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
         order = jnp.argsort(h, axis=1, stable=True).astype(I32)
         h_sorted = jnp.take_along_axis(h, order, axis=1)
         inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
+        ranks_arr = jnp.asarray(
+            (0,) + tuple(ranks if ranks is not None
+                         else range(1, nprobe + 1)), I32)
 
         def cand_body(k, carry):
             best_len, best_dist, near_len, near_dist = carry
-            prev_rank = jnp.maximum(inv - k, 0)
+            r = ranks_arr[k]
+            prev_rank = jnp.maximum(inv - r, 0)
             same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
             cand = jnp.take_along_axis(order, prev_rank, axis=1)
-            cand = jnp.where(same & (inv - k >= 0) & (cand < iota), cand, -1)
-            ml = _match_len(quads, iota, cand, limit)
-            # extend fully-capped matches by further cap-sized blocks
-            for ext in range(1, EXT_ROUNDS):
-                capped = (ml == ext * cap) & (cand >= 0)
-                more = _match_len(quads, iota + ext * cap,
-                                  jnp.where(capped, cand + ext * cap, -1),
-                                  limit)
-                ml = ml + jnp.where(capped, more, 0)
+            cand = jnp.where(same & (inv - r >= 0) & (cand < iota), cand, -1)
+            if fast:
+                # ranking probe only; the winner is fully extended once,
+                # after the family fold (strict > keeps the nearest of
+                # equal-probe candidates: k ascends by distance)
+                ml = _match_len(quads, iota, cand, limit,
+                                words=FAST_PROBE_WORDS)
+            else:
+                ml = _match_len(quads, iota, cand, limit)
+                # extend fully-capped matches by further cap-sized blocks
+                for ext in range(1, EXT_ROUNDS):
+                    capped = (ml == ext * cap) & (cand >= 0)
+                    more = _match_len(quads, iota + ext * cap,
+                                      jnp.where(capped, cand + ext * cap,
+                                                -1),
+                                      limit)
+                    ml = ml + jnp.where(capped, more, 0)
             better = ml > best_len
-            take = (k == 1 + jnp.arange(nnear, dtype=I32))[None, None, :]
-            near_len = jnp.where(take, ml[:, :, None], near_len)
-            near_dist = jnp.where(take & (ml[:, :, None] > 0),
-                                  (iota - cand)[:, :, None], near_dist)
+            if nnear:
+                take = (k == 1 + jnp.arange(nnear, dtype=I32))[None, None,
+                                                               :]
+                near_len = jnp.where(take, ml[:, :, None], near_len)
+                near_dist = jnp.where(take & (ml[:, :, None] > 0),
+                                      (iota - cand)[:, :, None], near_dist)
             return (jnp.where(better, ml, best_len),
                     jnp.where(better, iota - cand, best_dist),
                     near_len, near_dist)
@@ -165,7 +198,7 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
     h4 = jnp.where(iota + MIN_MATCH <= limit, h4,
                    (1 << HASH_BITS) + (iota & 0xFF))
     best_len, best_dist, near_len, near_dist = probe_family(
-        h4, NUM_CANDIDATES, NUM_NEAR)
+        h4, NUM_CANDIDATES, 0 if fast else NUM_NEAR, RANKS_4)
 
     # family 2: 8-byte keys — sparse groups whose nearest members reach
     # far back, standing in for the reference's 256-deep hash chains
@@ -177,12 +210,24 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray):
     h8 = jnp.where(iota + 8 <= limit, h8,
                    (1 << HASH_BITS) + (iota & 0xFF))
     b8_len, b8_dist, n8_len, n8_dist = probe_family(
-        h8, NUM_CANDIDATES_8, NUM_NEAR_8)
+        h8, NUM_CANDIDATES_8, 0 if fast else NUM_NEAR_8, RANKS_8)
     far_better = b8_len > best_len
     best_len = jnp.where(far_better, b8_len, best_len)
     best_dist = jnp.where(far_better, b8_dist, best_dist)
     near_len = jnp.concatenate([near_len, n8_len], axis=2)
     near_dist = jnp.concatenate([near_dist, n8_dist], axis=2)
+
+    if fast:
+        # one full LCP + capped extension of each position's winner
+        cand = jnp.where(best_len > 0, iota - best_dist, -1)
+        ml = _match_len(quads, iota, cand, limit)
+        for ext in range(1, EXT_ROUNDS):
+            capped = (ml == ext * cap) & (cand >= 0)
+            more = _match_len(quads, iota + ext * cap,
+                              jnp.where(capped, cand + ext * cap, -1),
+                              limit)
+            ml = ml + jnp.where(capped, more, 0)
+        best_len = ml
 
     # distance-1 runs: exact lengths (uncapped) for byte repeats
     b = pages.astype(I32)
@@ -246,8 +291,9 @@ def find_candidates(pages: jnp.ndarray, in_sizes: jnp.ndarray, cap: int):
     return cand_len, cand_dist
 
 
-@partial(jax.jit, static_argnums=(2,))
-def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int,
+                  fast: bool = False):
     """Bulk-greedy LZ77 over a batch of pages.
 
     pages: uint8 [P, S]; in_sizes: int32 [P].
@@ -258,7 +304,7 @@ def find_commands(pages: jnp.ndarray, in_sizes: jnp.ndarray, max_cmds: int):
     P, S = pages.shape
     limit = in_sizes[:, None]
     iota = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
-    best_len, best_dist, _, _ = _scan_matches(pages, in_sizes)
+    best_len, best_dist, _, _ = _scan_matches(pages, in_sizes, fast)
 
     # (measured: brotli-style distance gates and 1-byte lazy matching both
     # LOWER the packed ratio here — the native packer's entropy coding

@@ -980,7 +980,10 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
     max_cmds = page_size // 4 + 16   # every command copies >= MIN_MATCH=4
     pages = jnp.asarray(pages_np)
     in_sizes = jnp.asarray(in_sizes_np)
-    greedy = find_commands(pages, in_sizes, max_cmds)
+    # q1 tier ranks candidates with the short-probe matcher (~6x fewer
+    # gathers); the q11 tier keeps full-depth ranking since its greedy
+    # parse both competes and seeds the DP
+    greedy = find_commands(pages, in_sizes, max_cmds, quality < 10)
     if isdelta_np is None:
         isdelta_np = np.zeros(pages_np.shape[0], dtype=np.int32)
     isdelta = jnp.asarray(isdelta_np, dtype=jnp.int32)

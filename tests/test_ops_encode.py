@@ -15,12 +15,12 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="needs native packer")
 
 
-def cmds_for(data: bytes, S=32768):
+def cmds_for(data: bytes, S=32768, fast=False):
     arr = np.zeros((1, S), np.uint8)
     arr[0, : len(data)] = np.frombuffer(data, np.uint8)
     sizes = np.array([len(data)], np.int32)
     ins, cpy, dist, nc = find_commands(jnp.asarray(arr), jnp.asarray(sizes),
-                                       S // 2 + 2)
+                                       S // 2 + 2, fast)
     k = int(nc[0])
     return (np.asarray(ins)[0, :k], np.asarray(cpy)[0, :k],
             np.asarray(dist)[0, :k])
@@ -29,9 +29,10 @@ def cmds_for(data: bytes, S=32768):
 class TestFindCommands:
     @pytest.mark.parametrize("kind", ["text", "zeros", "repetitive",
                                       "structured"])
-    def test_commands_are_valid(self, kind):
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_commands_are_valid(self, kind, fast):
         data = make_data(kind, 20000, seed=1)
-        ins, cpy, dist = cmds_for(data)
+        ins, cpy, dist = cmds_for(data, fast=fast)
         pos = 0
         for i, c, d in zip(ins, cpy, dist):
             pos += int(i)
@@ -46,9 +47,10 @@ class TestFindCommands:
             pos += int(c)
         assert pos <= len(data)
 
-    def test_run_detection_uncapped(self):
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_run_detection_uncapped(self, fast):
         data = b"x" * 10000
-        ins, cpy, dist = cmds_for(data)
+        ins, cpy, dist = cmds_for(data, fast=fast)
         # one d=1 run command should cover nearly everything
         assert len(ins) == 1
         assert dist[0] == 1

@@ -1,0 +1,131 @@
+"""Stage-level profile of the device decode path (PERF.md decode section).
+
+Times, on the default jax device over the bench corpus (compressed pages,
+size-sorted like bench.py):
+
+  prologue  — XLA header/size-table parse + stream interleave + 3 Huffman
+              table loads (pallas_decode._prologue): everything that runs
+              OUTSIDE the kernel in the fused variant
+  interleave— the interleave alone (the unavoidable O(bytes) data pass)
+  fused     — decode_pages variant="fused" end to end
+  two_phase — decode_pages variant="two_phase" end to end
+  xla       — decode_pages variant="xla" end to end
+
+Completion is forced by fetching a reduction of each stage's on-device
+output. Only within-window relative numbers are meaningful on this host
+(PERF.md: absolute window speed varies up to 25x); run back-to-back and
+compare shares.
+
+Usage: [BENCH_PAGES=256] [PROF_REPS=3] python tools/profile_decode.py
+"""
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
+
+import numpy as np
+
+from brotlig_tpu.utils import jaxcache
+
+jaxcache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench import PAGE_SIZE, encoded_batch  # noqa: E402
+from brotlig_tpu.ops.decode import decode_pages, max_cmds_for  # noqa: E402
+from brotlig_tpu.ops import pallas_decode as PD  # noqa: E402
+
+
+@jax.jit
+def _tree_sum(tree):
+    tot = jnp.uint32(0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        tot = tot + jnp.sum(jnp.asarray(leaf).astype(jnp.uint32))
+    return tot
+
+
+def fetch(tree):
+    """ONE device reduction + ONE host fetch for the whole tree (a
+    per-leaf fetch costs a ~30ms tunnel roundtrip each on this host and
+    swamps the stage being timed)."""
+    return int(np.asarray(_tree_sum(tree)))
+
+
+def timeit(label, fn, reps):
+    fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(json.dumps({"stage": label, "ms": round(best * 1e3, 2),
+                      "all_ms": [round(t * 1e3, 1) for t in ts]}),
+          flush=True)
+    return best
+
+
+def main():
+    n_pages = int(os.environ.get("BENCH_PAGES", "256"))
+    reps = int(os.environ.get("PROF_REPS", "3"))
+    pages, comps = encoded_batch(n_pages)
+    order = sorted(range(n_pages), key=lambda i: len(comps[i]))
+    pages = [pages[i] for i in order]
+    comps = [comps[i] for i in order]
+    total = n_pages * PAGE_SIZE
+
+    W = PAGE_SIZE // 4 + 2
+    arr = np.zeros((n_pages, W * 4), dtype=np.uint8)
+    sizes = np.zeros(n_pages, dtype=np.int32)
+    for i, c in enumerate(comps):
+        arr[i, : len(c)] = np.frombuffer(c, dtype=np.uint8)
+        sizes[i] = len(c)
+    words = jnp.asarray(arr.view(np.uint32).reshape(n_pages, W))
+    sizes_j = jnp.asarray(sizes)
+    mc = max_cmds_for(PAGE_SIZE)
+    w_hint = (int(sizes.max()) + 3) // 4
+    s_hint = PD.stream_words_hint(comps)
+    wl = PD.wl_bucket(s_hint)
+
+    prologue = jax.jit(PD._prologue, static_argnums=(2,))
+    t_pro = timeit("prologue", lambda: fetch(
+        prologue(words, sizes_j, wl)), reps)
+
+    from brotlig_tpu.ops.tables import HEADER_WORDS
+    interleave = jax.jit(lambda w, s: PD._interleave_streams(
+        w, PD.parse_page_headers_full(
+            w[:, :min(W, HEADER_WORDS)], s)[4], wl))
+    t_il = timeit("interleave", lambda: fetch(interleave(words, sizes_j)),
+                  reps)
+
+    # two-phase split: phase A kernel alone (start), then the full pair
+    wl_b = PD.wl_bucket(s_hint)
+    t_pa = timeit("phase_a_kernel", lambda: fetch(PD.phase_a_pallas(
+        words, sizes_j, PAGE_SIZE, mc, wl_b, False)), reps)
+
+    res = {"phase_a": t_pa}
+    for variant in ("fused", "two_phase", "xla"):
+        t = timeit(variant, lambda v=variant: fetch(decode_pages(
+            words, sizes_j, PAGE_SIZE, mc, w_hint, s_hint, v, 512)[0]),
+            reps)
+        res[variant] = t
+
+    print(json.dumps({
+        "pages": n_pages, "bytes": total,
+        "fused_gbps": round(total / res["fused"] / 1e9, 5),
+        "shares_of_fused": {
+            "prologue": round(t_pro / res["fused"], 3),
+            "interleave": round(t_il / res["fused"], 3),
+            "phase_a": round(res["phase_a"] / res["fused"], 3)},
+        "two_phase_over_fused": round(res["two_phase"] / res["fused"], 3),
+        "xla_over_fused": round(res["xla"] / res["fused"], 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,8 @@ def main():
 
     t_match = timeit("matcher", lambda: fetch(
         find_commands(pages, in_sizes, max_cmds)), reps)
+    timeit("matcher_fast", lambda: fetch(
+        find_commands(pages, in_sizes, max_cmds, True)), reps)
 
     greedy = find_commands(pages, in_sizes, max_cmds)
     greedy = tuple(jnp.asarray(np.asarray(g)) for g in greedy)
