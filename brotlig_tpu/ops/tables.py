@@ -350,8 +350,11 @@ def load_table(words, lane_bitpos, alphabet_size: int):
         return bpos2, (sym, extra, bpos2)
 
     rle_bp0 = new_bp
+    # unroll: the body is ~15 tiny [P,32] ops; on hosts where per-
+    # iteration loop machinery dominates (tunneled chip), inlining the
+    # whole chain into straight-line code removes that term
     rle_bp_final, (syms_t, extra_t, bp_hist) = jax.lax.scan(
-        rle_step, rle_bp0, None, length=steps)
+        rle_step, rle_bp0, None, length=steps, unroll=steps)
     # item-major order: item g = step g//32, lane g%32
     syms_g = jnp.moveaxis(syms_t, 0, 1).reshape(P, steps * 32)
     extra_g = jnp.moveaxis(extra_t, 0, 1).reshape(P, steps * 32)

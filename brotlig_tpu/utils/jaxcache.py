@@ -23,6 +23,18 @@ def _tag() -> str:
         bits.append(str(jax.config.jax_platforms))
     except Exception:
         bits.append(os.environ.get("JAX_PLATFORMS", ""))
+    # a process with the tunneled-TPU plugin REGISTERED (even when jax
+    # ultimately runs CPU, e.g. JAX_PLATFORMS=cpu with the plugin site
+    # on PYTHONPATH) emits CPU code with the deoptimized
+    # +prefer-no-scatter codegen flags — those entries must not land in
+    # the plain-CPU namespace (observed again round 3: multihost bench
+    # loaded them and ran orders slower)
+    try:
+        from jax._src import xla_bridge as _xb
+        if "axon" in getattr(_xb, "_backend_factories", {}):
+            bits.append("plugin:axon")
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
