@@ -75,7 +75,8 @@ def decompressed_size(data: bytes) -> int:
     return _cpu.decompressed_size(data)
 
 
-def decode(data: bytes, backend: str = "auto", feedback=None) -> bytes:
+def decode(data: bytes, backend: str = "auto", feedback=None,
+           variant: str | None = None, sweep_cw: int = 512) -> bytes:
     """Decode a Brotli-G container.
 
     backend: "tpu" forces the JAX path, "cpu" the scalar oracle, "auto"
@@ -83,6 +84,9 @@ def decode(data: bytes, backend: str = "auto", feedback=None) -> bytes:
     feedback: optional callable(progress 0..100) -> bool invoked per device
     batch on the TPU path (decode analog of BROTLIG_Feedback_Proc,
     BrotligDecoder.cpp:318-325); returning True raises errors.Aborted.
+    variant / sweep_cw: TPU kernel selection (see ops.decode.decode_pages);
+    callers that validated a specific kernel rung (bench ladder) pass it
+    through so every decode in the process uses the proven kernel.
     """
     if backend == "cpu":
         return decode_cpu(data)
@@ -94,7 +98,8 @@ def decode(data: bytes, backend: str = "auto", feedback=None) -> bytes:
         return decode_cpu(data)
     if backend in ("tpu", "auto"):
         try:
-            return decode_stream_jax(data, feedback=feedback)
+            return decode_stream_jax(data, feedback=feedback,
+                                     variant=variant, sweep_cw=sweep_cw)
         except NotImplementedError:
             if backend == "tpu":
                 raise

@@ -517,7 +517,7 @@ def _pallas_interpret() -> bool:
     return dev.platform not in ("tpu", "axon")
 
 
-VALID_SWEEP_CW = (128, 512)
+VALID_SWEEP_CW = (128, 512, 1024)
 VALID_VARIANTS = ("fused", "two_phase", "xla")
 
 
@@ -571,17 +571,42 @@ def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
     _check_opts(variant, sweep_cw)
     if variant != "xla" and _use_pallas(words.shape[0], s_hint, w_hint):
         from . import pallas_decode as PD
+
+        def rebuild():
+            return words, in_sizes, w_hint
         if variant is None or variant == "fused":
             out = PD.decode_fused_pallas(
                 words, in_sizes, page_size, max_cmds,
                 PD.wl_bucket(s_hint), _pallas_interpret(), sweep_cw)
-            return ("fused", (out, words, in_sizes, w_hint))
+            return ("fused", (out, rebuild))
         out = PD.phase_a_pallas(words, in_sizes, page_size, max_cmds,
                                 PD.wl_bucket(s_hint), _pallas_interpret())
-        # words/w_hint ride along for the rare chunk-overflow fallback
-        return ("pallas", (out, words, in_sizes, w_hint, sweep_cw))
+        # rebuild rides along for the rare chunk-overflow fallback
+        return ("pallas", (out, rebuild, sweep_cw))
     words = _narrow_words(words, w_hint)
     return ("xla", _stage_symbols(words, in_sizes, page_size, max_cmds))
+
+
+def decode_pages_start_staged(buf3, npd, page_size: int, max_cmds: int,
+                              rebuild, variant: str | None = None,
+                              sweep_cw: int = 512):
+    """Dispatch phase A from a host-staged interleaved buffer
+    (native.stage_pages): skips the words upload and the XLA interleave
+    gather entirely. `rebuild()` -> (words, in_sizes, w_hint) recreates
+    the words staging for the rare literal-chunk-overflow fallback."""
+    from . import pallas_decode as PD
+    _check_opts(variant, sweep_cw)
+    npf = npd[:, 0]
+    ndi = npd[:, 1]
+    isd = npd[:, 2]
+    if variant is None or variant == "fused":
+        out = PD.decode_fused_from_buf(buf3, npf, ndi, isd, page_size,
+                                       max_cmds, _pallas_interpret(),
+                                       sweep_cw)
+        return ("fused", (out, rebuild))
+    out = PD.phase_a_from_buf(buf3, npf, ndi, isd, page_size, max_cmds,
+                              _pallas_interpret())
+    return ("pallas", (out, rebuild, sweep_cw))
 
 
 def _bucket_sizes(peak: int, full: int):
@@ -593,7 +618,7 @@ def _bucket_sizes(peak: int, full: int):
 
 def _finish_pallas_state(data, page_size: int, max_cmds: int):
     from . import pallas_decode as PD
-    out, words, in_sizes, w_hint, sweep_cw = data
+    out, rebuild, sweep_cw = data
     (ncmds, lit_t, chs, chc, cmd_t,
      npostfix, ndirect, isdelta, stats) = out
     R = max_cmds // NBS
@@ -607,6 +632,7 @@ def _finish_pallas_state(data, page_size: int, max_cmds: int):
         # extremely unbalanced batches: lockstep trips follow the
         # per-round max over pages) - the clamped records would be wrong,
         # so rerun this batch through the XLA wavefront path
+        words, in_sizes, w_hint = rebuild()
         st = _stage_symbols(_narrow_words(words, w_hint), in_sizes,
                             page_size, max_cmds)
         return decode_pages_finish(("xla", st), page_size, max_cmds)
@@ -622,10 +648,11 @@ def _finish_fused_state(data, page_size: int, max_cmds: int):
     detect literal-chunk overflow (lockstep trips in extremely unbalanced
     batches) and rerun those through the XLA wavefront if needed."""
     from . import pallas_decode as PD
-    (out_b, isdelta, _ncmds, stats), words, in_sizes, w_hint = data
+    (out_b, isdelta, _ncmds, stats), rebuild = data
     stats_np = np.asarray(stats)
     if int(stats_np[:, 0].max()) >= \
             PD._fused_chunks(page_size, max_cmds) - 1:
+        words, in_sizes, w_hint = rebuild()
         st = _stage_symbols(_narrow_words(words, w_hint), in_sizes,
                             page_size, max_cmds)
         return decode_pages_finish(("xla", st), page_size, max_cmds)
@@ -807,14 +834,52 @@ def decode_stream_jax(data: bytes, batch_pages: int = 256,
             pages_out, isdelta = decode_pages_finish(state, page_size, mc)
             finish_q.append((group, pages_out, isdelta))
 
+        # Host-native staging: parse + interleave in C (memcpy speed) and
+        # upload the kernels' buffer directly — skips the XLA interleave
+        # gather AND shrinks the upload from page_size to the compressed
+        # stream bound (brotlig_stage.cpp).
+        P0 = batch_pages if len(comp_idx) > batch_pages else len(comp_idx)
+        try:
+            from .. import native as _native
+            native_ok = _native.available()
+        except Exception:
+            native_ok = False
+        use_staged = (variant != "xla" and native_ok
+                      and _use_pallas(P0, s_hint, w_hint))
+        if use_staged:
+            from .pallas_decode import wl_bucket
+            wl = wl_bucket(s_hint)
+
+        def start_batch(rows):
+            # long multi-shape runs (cold test suite, many-archive
+            # services) accumulate LLVM-JIT mmap regions until the
+            # kernel's vm.max_map_count kills the process (segfault in
+            # executable deserialization, measured ~35% into a cold
+            # suite); dropping jax's in-process caches here costs one
+            # /proc read per batch and recompiles load from disk
+            from ..utils import jaxcache as _jc
+            _jc.clear_if_bloated()
+            if use_staged:
+                offs = np.array([int(offsets[i]) for i in rows], np.uint64)
+                szs = np.array([int(sizes[i]) for i in rows], np.uint64)
+                buf3_np, npd_np = _native.stage_pages(payload, offs, szs,
+                                                      wl)
+
+                def rebuild(rows=rows):
+                    w_, s_ = _batch_pages(payload, offsets, sizes, rows, W)
+                    return w_, s_, w_hint
+                return decode_pages_start_staged(
+                    jnp.asarray(buf3_np), jnp.asarray(npd_np), page_size,
+                    mc, rebuild, variant, sweep_cw)
+            words, in_sizes = _batch_pages(payload, offsets, sizes, rows, W)
+            return decode_pages_start(words, in_sizes, page_size, mc,
+                                      w_hint, s_hint, variant, sweep_cw)
+
         for c0 in range(0, len(comp_idx), batch_pages):
             group = comp_idx[c0: c0 + batch_pages]
             rows = group + [group[0]] * (batch_pages - len(group)) \
                 if len(comp_idx) > batch_pages else group
-            words, in_sizes = _batch_pages(payload, offsets, sizes, rows, W)
-            stage_q.append((group, decode_pages_start(
-                words, in_sizes, page_size, mc, w_hint, s_hint,
-                variant, sweep_cw)))
+            stage_q.append((group, start_batch(rows)))
             if len(stage_q) > 1:
                 pump_finish()
             if len(finish_q) > 2:

@@ -93,19 +93,50 @@ def _match_len(quads, pos, cand, limit, words: int = MAX_MATCH_WORDS):
     return jnp.where(valid, ml, 0)
 
 
+def _match_len_at(quads, cand, limit, off: int,
+                  words: int = MAX_MATCH_WORDS):
+    """LCP of the suffixes at (iota + off) vs cand, capped at 4*words —
+    the winner-verification form of _match_len. The position side reads
+    at STATIC offsets iota + off + 4w, which are row shifts instead of
+    gathers, halving the full-operand gather scans (the measured
+    dominant term of the round-4 matcher, /tmp profile: one 16-word
+    _match_len = 32 gather scans, this = 16). Beyond-page garbage
+    differs from _match_len's clamp-to-last-word garbage, but both are
+    clamped by the same `limit - pos` bound, so post-clamp lengths are
+    identical."""
+    P, S = quads.shape
+    valid = cand >= 0
+    iota = jnp.arange(S, dtype=I32)[None, :]
+    ml = jnp.zeros((P, S), I32)
+    still = valid
+    for w in range(words):
+        sh = off + 4 * w
+        if sh == 0:
+            qa = quads
+        elif sh >= S:
+            qa = jnp.zeros((P, S), quads.dtype)
+        else:
+            qa = jnp.concatenate(
+                [quads[:, sh:], jnp.zeros((P, sh), quads.dtype)], axis=1)
+        qb = jnp.take_along_axis(quads, jnp.clip(cand + 4 * w, 0, S - 1),
+                                 axis=1)
+        x = qa ^ qb
+        eq = x == 0
+        ml = ml + jnp.where(still, jnp.where(eq, 4, _ctz_bytes(x)), 0)
+        still = still & eq
+    ml = jnp.minimum(ml, jnp.maximum(limit - (iota + off), 0))
+    return jnp.where(valid, ml, 0)
+
+
 NUM_NEAR = 3        # 4-byte-key candidates exported to the DP parse
 NUM_CANDIDATES_8 = 4  # nearest probes in the 8-byte-key family
 NUM_NEAR_8 = 2      # 8-byte-key candidates exported to the DP parse
 FAST_PROBE_WORDS = 3  # fast tier: candidate ranking LCP cap = 12 bytes
 
-# Probe-rank schedules: which same-hash predecessors (by closeness rank)
-# each probe step visits. MEASURED DEAD END (round 3, tools/ab_parse.py):
-# a geometric schedule (1,2,3,4,5,6,8,10,13,17,22,29,38,50,66,87) reaching
-# depth 87 made ratio WORSE than the 16 nearest ranks — corpus +5.06% vs
-# +4.8% behind native q11, text +9.3% vs +7.8%. Near-dense candidates
-# (cheap distance codes) beat depth reach; do not retry. None = 1..nprobe.
-RANKS_4 = None
-RANKS_8 = None
+# Probe-rank schedules beyond the nearest 1..nprobe are a MEASURED DEAD
+# END (round 3, tools/ab_parse.py): a geometric schedule reaching depth
+# 87 made ratio WORSE than the 16 nearest ranks — near-dense candidates
+# (cheap distance codes) beat depth reach; do not retry.
 
 
 def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
@@ -121,13 +152,19 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
     cheaper distance symbol even when shorter); greedy uses only `best`
     (XLA dead-code-eliminates `near` there).
 
-    fast=True is the q1 speed tier: candidates are RANKED by a 12-byte
-    LCP probe (FAST_PROBE_WORDS words, nearest wins ties) and only the
-    winner gets the full 64-byte LCP + capped extension — ~6x fewer
-    [P, S] gathers than ranking every probe at full depth. The run-1
-    pass and the log-depth chain extension below still recover long
-    repeats exactly, so the tier costs ratio only on mid-length matches
-    where a farther candidate out-extends a nearer one past 12 bytes.
+    Candidate verification runs in HASH-SORTED space (round 4): the
+    suffix words of every sorted rank are gathered ONCE per word offset
+    (qs[w][r] = quads[order[r] + 4w]), after which the rank-k probe's
+    LCP is a plain vector compare against the row shifted by k — no
+    per-probe gathers at all. The old formulation paid
+    nprobe x (probe_words + extension) full-operand gather scans
+    (~1900 per batch at the q11 settings, PERF.md round-3 encode
+    profile); this one pays probe_words gathers + nprobe x probe_words
+    elementwise compares, with only the per-position WINNER getting the
+    full position-space LCP + capped extension afterwards.
+
+    fast=True is the q1 speed tier: ranking depth drops to
+    FAST_PROBE_WORDS words (12 bytes); exact ranks at 64 bytes.
     """
     P, S = pages.shape
     limit = in_sizes[:, None]
@@ -136,69 +173,71 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
     quads = _quads(pages)
     cap = 4 * MAX_MATCH_WORDS
 
-    def probe_family(h, nprobe, nnear, ranks=None):
-        """Probe the `nprobe` nearest same-hash predecessors of every
-        position; returns (best_len, best_dist, near_len, near_dist) with
+    def probe_family(h, nprobe, nnear, rank_words):
+        """Rank the `nprobe` nearest same-hash predecessors of every
+        position by an LCP capped at 4*rank_words bytes; returns
+        (best_len, best_dist, near_len, near_dist) in position space,
         near_* capturing probes 1..nnear (smallest distance first).
-
-        The candidate loop is a fori_loop, not unrolled: at nprobe=8 the
-        unrolled program is large enough that XLA:CPU's executable
-        serializer segfaults writing the persistent cache, and compiles
-        take minutes; the rolled body is identical math (k only shifts
-        the probed rank)."""
-        # stable sort by hash groups positions; within a group, asc. pos
+        Stable sort groups positions by hash in ascending position
+        order, so rank r-k IS the k-th nearest predecessor whenever its
+        hash matches."""
         order = jnp.argsort(h, axis=1, stable=True).astype(I32)
         h_sorted = jnp.take_along_axis(h, order, axis=1)
         inv = jnp.argsort(order, axis=1, stable=True).astype(I32)
-        ranks_arr = jnp.asarray(
-            (0,) + tuple(ranks if ranks is not None
-                         else range(1, nprobe + 1)), I32)
+        qs = [jnp.take_along_axis(
+            quads, jnp.clip(order + 4 * w, 0, S - 1), axis=1)
+            for w in range(rank_words)]
+        rem_s = jnp.maximum(limit - order, 0)
 
-        def cand_body(k, carry):
-            best_len, best_dist, near_len, near_dist = carry
-            r = ranks_arr[k]
-            prev_rank = jnp.maximum(inv - r, 0)
-            same = jnp.take_along_axis(h_sorted, prev_rank, axis=1) == h
-            cand = jnp.take_along_axis(order, prev_rank, axis=1)
-            cand = jnp.where(same & (inv - r >= 0) & (cand < iota), cand, -1)
-            if fast:
-                # ranking probe only; the winner is fully extended once,
-                # after the family fold (strict > keeps the nearest of
-                # equal-probe candidates: k ascends by distance)
-                ml = _match_len(quads, iota, cand, limit,
-                                words=FAST_PROBE_WORDS)
-            else:
-                ml = _match_len(quads, iota, cand, limit)
-                # extend fully-capped matches by further cap-sized blocks
-                for ext in range(1, EXT_ROUNDS):
-                    capped = (ml == ext * cap) & (cand >= 0)
-                    more = _match_len(quads, iota + ext * cap,
-                                      jnp.where(capped, cand + ext * cap,
-                                                -1),
-                                      limit)
-                    ml = ml + jnp.where(capped, more, 0)
+        def shift_r(x, k, fill):
+            return jnp.concatenate(
+                [jnp.full((P, k), fill, x.dtype), x[:, :-k]], axis=1)
+
+        best_len = jnp.zeros((P, S), I32)
+        best_dist = jnp.zeros((P, S), I32)
+        near_len = jnp.zeros((P, S, nnear), I32) if nnear else None
+        near_dist = jnp.zeros((P, S, nnear), I32) if nnear else None
+        for k in range(1, nprobe + 1):
+            same = h_sorted == shift_r(h_sorted, k, -1)
+            cand = shift_r(order, k, 0)
+            ml = jnp.zeros((P, S), I32)
+            still = same
+            for w in range(rank_words):
+                x = qs[w] ^ shift_r(qs[w], k, 0)
+                ml = ml + jnp.where(
+                    still, jnp.where(x == 0, 4, _ctz_bytes(x)), 0)
+                still = still & (x == 0)
+            ml = jnp.where(same, jnp.minimum(ml, rem_s), 0)
+            dist = order - cand
             better = ml > best_len
-            if nnear:
-                take = (k == 1 + jnp.arange(nnear, dtype=I32))[None, None,
-                                                               :]
-                near_len = jnp.where(take, ml[:, :, None], near_len)
-                near_dist = jnp.where(take & (ml[:, :, None] > 0),
-                                      (iota - cand)[:, :, None], near_dist)
-            return (jnp.where(better, ml, best_len),
-                    jnp.where(better, iota - cand, best_dist),
-                    near_len, near_dist)
+            if nnear and k <= nnear:
+                near_len = near_len.at[:, :, k - 1].set(ml)
+                near_dist = near_dist.at[:, :, k - 1].set(
+                    jnp.where(ml > 0, dist, 0))
+            best_len = jnp.where(better, ml, best_len)
+            best_dist = jnp.where(better, dist, best_dist)
 
-        return jax.lax.fori_loop(
-            1, nprobe + 1, cand_body,
-            (jnp.zeros((P, S), I32), jnp.zeros((P, S), I32),
-             jnp.zeros((P, S, nnear), I32), jnp.zeros((P, S, nnear), I32)))
+        def unsort(x):
+            return jnp.take_along_axis(x, inv, axis=1)
+
+        if nnear:
+            near_len = jnp.stack(
+                [unsort(near_len[:, :, j]) for j in range(nnear)], axis=2)
+            near_dist = jnp.stack(
+                [unsort(near_dist[:, :, j]) for j in range(nnear)], axis=2)
+        else:
+            near_len = jnp.zeros((P, S, 0), I32)
+            near_dist = jnp.zeros((P, S, 0), I32)
+        return unsort(best_len), unsort(best_dist), near_len, near_dist
+
+    rank_words = FAST_PROBE_WORDS if fast else MAX_MATCH_WORDS
 
     # family 1: 4-byte keys — dense groups, nearest occurrences
     h4 = ((quads * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(I32)
     h4 = jnp.where(iota + MIN_MATCH <= limit, h4,
                    (1 << HASH_BITS) + (iota & 0xFF))
     best_len, best_dist, near_len, near_dist = probe_family(
-        h4, NUM_CANDIDATES, 0 if fast else NUM_NEAR, RANKS_4)
+        h4, NUM_CANDIDATES, 0 if fast else NUM_NEAR, rank_words)
 
     # family 2: 8-byte keys — sparse groups whose nearest members reach
     # far back, standing in for the reference's 256-deep hash chains
@@ -210,24 +249,24 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
     h8 = jnp.where(iota + 8 <= limit, h8,
                    (1 << HASH_BITS) + (iota & 0xFF))
     b8_len, b8_dist, n8_len, n8_dist = probe_family(
-        h8, NUM_CANDIDATES_8, 0 if fast else NUM_NEAR_8, RANKS_8)
+        h8, NUM_CANDIDATES_8, 0 if fast else NUM_NEAR_8, rank_words)
     far_better = b8_len > best_len
     best_len = jnp.where(far_better, b8_len, best_len)
     best_dist = jnp.where(far_better, b8_dist, best_dist)
     near_len = jnp.concatenate([near_len, n8_len], axis=2)
     near_dist = jnp.concatenate([near_dist, n8_dist], axis=2)
 
-    if fast:
-        # one full LCP + capped extension of each position's winner
-        cand = jnp.where(best_len > 0, iota - best_dist, -1)
-        ml = _match_len(quads, iota, cand, limit)
-        for ext in range(1, EXT_ROUNDS):
-            capped = (ml == ext * cap) & (cand >= 0)
-            more = _match_len(quads, iota + ext * cap,
-                              jnp.where(capped, cand + ext * cap, -1),
-                              limit)
-            ml = ml + jnp.where(capped, more, 0)
-        best_len = ml
+    # one full LCP + capped extension of each position's winner (the
+    # ranking above caps at 4*rank_words; chains below go further)
+    cand = jnp.where(best_len > 0, iota - best_dist, -1)
+    ml = _match_len_at(quads, cand, limit, 0)
+    for ext in range(1, EXT_ROUNDS):
+        capped = (ml == ext * cap) & (cand >= 0)
+        more = _match_len_at(quads,
+                             jnp.where(capped, cand + ext * cap, -1),
+                             limit, ext * cap)
+        ml = ml + jnp.where(capped, more, 0)
+    best_len = ml
 
     # distance-1 runs: exact lengths (uncapped) for byte repeats
     b = pages.astype(I32)

@@ -43,7 +43,7 @@ import numpy as np
 
 from ..format import constants as C
 from . import arith_lut
-from .tables import build_search, load_table, parse_page_headers_full
+from .tables import build_search, parse_page_headers_full
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -559,46 +559,40 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
 # XLA-side wrapper
 # ---------------------------------------------------------------------------
 
-def _prologue(words, in_sizes, wl: int):
-    """Shared XLA prologue for both Pallas decode entry points: header +
-    size-table parse, stream interleave, and the three Huffman table
-    loads — arranged so NO peek gather ever scans the full words operand
-    (the round-2 prologue cost, VERDICT round-2 item 1):
-
-    * headers parse against a HEADER_WORDS slice (all their bits live
-      there);
-    * the interleave is the single full pass over the page bytes (it is
-      pure data movement, the unavoidable O(bytes) term);
-    * table loads re-base onto an 8KB/page stream-major view sliced out
-      of the interleaved buffer (tables occupy the first <=30 words of
-      every stream).
-
-    Returns (buf3 [Wc,P,128], bp_local [P,32] stream-local bit cursors
-    past the tables, ((npostfix, ndirect, isdelta), 3x(search, trivial))).
-    """
-    from .tables import HEADER_WORDS, stream_view_from_interleaved
+def _parse_and_interleave(words, in_sizes, wl: int):
+    """Header + size-table parse (against a HEADER_WORDS slice — all
+    their bits live there) and the stream interleave: the single full
+    pass over the page bytes. Returns (buf3 [Wc,P,128], npostfix,
+    ndirect, isdelta)."""
+    from .tables import HEADER_WORDS
 
     W = words.shape[1]
     npostfix, ndirect, isdelta, _, stream_bytes = \
         parse_page_headers_full(words[:, :min(W, HEADER_WORDS)], in_sizes)
     buf3 = _interleave_streams(words, stream_bytes, wl)
-    tl = min(64, wl)
-    view, vbp0 = stream_view_from_interleaved(buf3, tl)
-    bp = vbp0
-    icp_len, icp_triv, bp = load_table(
-        view, bp, C.NUM_COMMAND_SYMBOLS_EFFECTIVE)
-    dst_len, dst_triv, bp = load_table(view, bp, C.NUM_DISTANCE_SYMBOLS)
-    lit_len, lit_triv, bp = load_table(view, bp, C.NUM_LITERAL_SYMBOLS)
-    bp_local = bp - vbp0
+    return buf3, npostfix, ndirect, isdelta
+
+
+def _tables_from_buf(buf3, interpret: bool):
+    """Huffman tables via the on-chip Pallas loader (pallas_tables.py —
+    replaces the XLA speculative-RLE scan that profiled at ~26% of fused
+    e2e, PERF.md round-3), then the canonical search-structure build in
+    XLA (one shot of wide vector ops, ~2%).
+
+    Returns (bp_local [P,32] stream-local cursors past the tables,
+    [(packed_search, trivial)] x 3)."""
+    from .pallas_tables import load_tables_pallas
+
+    icp_len, dst_len, lit_len, trivs, bp_local = \
+        load_tables_pallas(buf3, interpret)
 
     def mk(lengths):
         return build_search(lengths, C.HUFFMAN_NUM_CODE_LENGTH,
                             C.HUFFMAN_TABLE_BITS)
-    return buf3, bp_local, (
-        (npostfix, ndirect, isdelta),
-        (_pack_search(mk(icp_len), NC_ICP), icp_triv),
-        (_pack_search(mk(dst_len), NC_DST), dst_triv),
-        (_pack_search(mk(lit_len), NC_LIT), lit_triv))
+    return bp_local, (
+        (_pack_search(mk(icp_len), NC_ICP), trivs[:, 0]),
+        (_pack_search(mk(dst_len), NC_DST), trivs[:, 1]),
+        (_pack_search(mk(lit_len), NC_LIT), trivs[:, 2]))
 
 
 def _interleave_streams(words, stream_bytes, wl: int):
@@ -645,20 +639,31 @@ def _block_pages(P: int) -> int:
 def phase_a_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
                    page_size: int, max_cmds: int, wl: int,
                    interpret: bool = False):
-    """Headers + tables in XLA, then the Pallas phase-A kernel.
+    """Headers in XLA, tables on-chip, then the Pallas phase-A kernel.
 
     wl: static per-stream word capacity (host hint; see stream_words_hint).
     Returns (ncmds [P], lit chunks [maxC*P, 128], ch_start/ch_count
     [maxC, P], cmd arrays [R*P, 32] x4, npostfix, ndirect, isdelta,
     stats [P, 2] = (chunks used, rounds used))."""
+    buf3, npostfix, ndirect, isdelta = \
+        _parse_and_interleave(words, in_sizes, wl)
+    return phase_a_from_buf(buf3, npostfix, ndirect, isdelta,
+                            page_size, max_cmds, interpret)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def phase_a_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
+                     page_size: int, max_cmds: int,
+                     interpret: bool = False):
+    """Phase A from an already-interleaved buffer (host-staged or
+    _parse_and_interleave): on-chip table load, then the phase-A kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P, W = words.shape
+    P = buf3.shape[1]
     pb = _block_pages(P)
-    buf3, bp_local, tabs = _prologue(words, in_sizes, wl)
-    (npostfix, ndirect, isdelta), (icp_s, icp_triv), (dst_s, dst_triv), \
-        (lit_s, lit_triv) = tabs
+    bp_local, tabs = _tables_from_buf(buf3, interpret)
+    (icp_s, icp_triv), (dst_s, dst_triv), (lit_s, lit_triv) = tabs
     wc = buf3.shape[0]
     bp0 = jnp.pad(bp_local, ((0, 0), (0, 128 - NBS)))
     npd = jnp.stack([npostfix, ndirect], axis=1)
@@ -834,27 +839,32 @@ def finish_decode_pallas(ncmds, lit_t, chs, chc, cmd_t, npd,
 #      adaptive chunk ladders over the VMEM-resident output / literal
 #      buffers — the trip count follows the data's actual distance spread.
 
-MAX_PB_B = 16                    # pages per phase-B block (VMEM budget):
+MAX_PB_B = 32                    # pages per phase-B block (VMEM budget):
                                  # the sweep is bound by per-chunk loop
                                  # overhead, so wider blocks amortize it
+                                 # (16 -> 32 in round 4: byte packing made
+                                 # the footprint fit; _sweep_pb still
+                                 # steps down when buckets are large)
 
 
 def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
-                             cbucket: int, pb: int):
-    """512-byte-group sweep: 4x fewer loop iterations than the 128-byte
-    kernel (PERF.md round-2 projection - the bare-chip bottleneck is
-    per-iteration bookkeeping, not bytes). The group is held as
-    [4, pb, 128] so every gather stays lane-local (Mosaic's dynamic
-    indexing is per-128-lane row); cross-subchunk reads go through a
-    4-step subrow ladder."""
+                             cbucket: int, pb: int, cw: int = 512):
+    """Wide-group sweep (cw = 512 or 1024 bytes per loop iteration):
+    4x/8x fewer loop iterations than the 128-byte kernel (PERF.md
+    round-2 projection - the bare-chip bottleneck is per-iteration
+    bookkeeping, not bytes). The group is held as [cw/128, pb, 128] so
+    every gather stays lane-local (Mosaic's dynamic indexing is
+    per-128-lane row); cross-subchunk reads go through a subrow
+    ladder."""
     from jax.experimental import pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
-    SUB = 4
-    CW = 512
+    SUB = cw // 128
+    CW = cw
     ngrp = S // CW
-    WIN = 512                       # command-rank window per group; a
-                                    # group consumes <= CW/2+1 ranks
+    # command-rank window per group: a group consumes <= CW/2+1 ranks,
+    # rounded up to whole 128-rows (+1 row of slack for the search)
+    WIN = ((CW // 2 + 1 + 127) // 128 + 1) * 128
 
     def kernel(st_ref, cst_ref, lst_ref, dst_ref, chs_ref,
                lit_ref, out_ref):
@@ -872,11 +882,11 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                               for q in range(SUB)], axis=0)
 
         def sub_ladder(rows, idx):
-            """Gather rows[t][...] at idx (values 0..511): subrow t =
-            idx >> 7, lane = idx & 127. rows: list of 4 [pb,128]."""
+            """Gather rows[t][...] at idx (< len(rows)*128): subrow t =
+            idx >> 7, lane = idx & 127. rows: list of [pb,128]."""
             out = jnp.zeros((SUB, pb, 128), I32)
             t_of = idx >> 7
-            for t in range(SUB):
+            for t in range(len(rows)):
                 g = g2d(rows[t], idx & 127)
                 out = jnp.where(t_of == t, g, out)
             return out
@@ -911,10 +921,12 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
 
             # per-lane binary search: largest rank with start <= pos
             lo = jnp.zeros((SUB, pb, 128), I32)
-            for step in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+            step = 1 << ((WIN - 1).bit_length() - 1)
+            while step:
                 probe = lo + step
                 sp = sub_ladder(w_st, jnp.clip(probe, 0, WIN - 1))
                 lo = jnp.where((probe <= WIN - 1) & (sp <= pos), probe, lo)
+                step >>= 1
             rel = lo
 
             st_l = sub_ladder(w_st, rel)
@@ -934,8 +946,8 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
             srcc = jnp.clip(cst_l - d + r, 0, S - 1)
             src = jnp.where(in_ins, S + lit_id, srcc)
 
-            # in-group chains: 9 rounds of map doubling over 512 bytes
-            for _ in range(9):
+            # in-group chains: log2(CW) rounds of map doubling
+            for _ in range((CW - 1).bit_length()):
                 off = src - base
                 ingrp = (off >= 0) & (off < CW)
                 nxt = sub_ladder([src[t] for t in range(SUB)],
@@ -1032,18 +1044,21 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                 lambda cr: jnp.max(cr[1]) > 0, cbody,
                 (byte, (~is_lit).astype(I32)))
 
-            # pack the group's 512 bytes into one 128-word output row:
-            # word w <- bytes 4w..4w+3 = subrow w>>5, lanes 4*(w&31)+t
-            pk = jnp.zeros((pb, 128), I32)
-            for s in range(SUB):
-                part = jnp.zeros((pb, 128), I32)
-                for t in range(4):
-                    g = jnp.take_along_axis(
-                        byte[s], jnp.clip(4 * (lane & 31) + t, 0, 127),
-                        axis=1)
-                    part = part | (g << (8 * t))
-                pk = jnp.where((lane >> 5) == s, part, pk)
-            out_ref[pl.ds(c, 1)] = pk[None]
+            # pack the group's bytes into CW/512 128-word output rows:
+            # output row h, word w <- bytes 512h+4w..+3 = subrow
+            # 4h + (w>>5), lanes 4*(w&31)+t
+            for hrow in range(CW // 512):
+                pk = jnp.zeros((pb, 128), I32)
+                for si in range(4):
+                    s = 4 * hrow + si
+                    part = jnp.zeros((pb, 128), I32)
+                    for t in range(4):
+                        g = jnp.take_along_axis(
+                            byte[s], jnp.clip(4 * (lane & 31) + t, 0, 127),
+                            axis=1)
+                        part = part | (g << (8 * t))
+                    pk = jnp.where((lane >> 5) == si, part, pk)
+                out_ref[pl.ds(c * (CW // 512) + hrow, 1)] = pk[None]
 
             return (jnp.max(c0 + rel, axis=(0, 2))[:, None], lc0)
 
@@ -1370,13 +1385,14 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
     dst3 = _to_chunk_major(dist, ncmdch)
     recs3 = _to_chunk_major(recs, nrecch, pad_val=1 << 29)
 
-    # the wide 512-byte-group kernel is the hardware-validated default
-    # (byte-identical to the narrow kernel, -34% batch time same-window,
-    # 2026-08-18); sweep_cw=128 selects the narrow kernel as fallback.
-    # sweep_cw is a per-call static arg so bench.py can A/B it at runtime
-    if sweep_cw == 512 and S % 512 == 0:
+    # the wide-group kernel is the hardware-validated default
+    # (byte-identical to the narrow kernel, -34% batch time same-window
+    # at cw=512, 2026-08-18); sweep_cw=128 selects the narrow kernel as
+    # fallback, 1024 the double-wide round-4 variant. sweep_cw is a
+    # per-call static arg so bench.py can A/B it at runtime
+    if sweep_cw in (512, 1024) and S % sweep_cw == 0:
         kernel = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
-                                          cbucket, pb)
+                                          cbucket, pb, sweep_cw)
     else:
         kernel = make_phase_b_kernel(S, nch, ncmdch, nrecch, cbucket, pb)
 
@@ -1450,9 +1466,9 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
     nch = S // 128
     maxc1 = max_chunks - 1
 
-    if sweep_cw == 512 and S % 512 == 0:
+    if sweep_cw in (512, 1024) and S % sweep_cw == 0:
         sweep = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
-                                         max_chunks, pb)
+                                         max_chunks, pb, sweep_cw)
     else:
         sweep = make_phase_b_kernel(S, nch, ncmdch, nrecch, max_chunks, pb)
 
@@ -1687,16 +1703,28 @@ def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int) -> int:
 def decode_fused_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
                         page_size: int, max_cmds: int, wl: int,
                         interpret: bool = False, sweep_cw: int = 128):
-    """Headers + tables in XLA, then ONE fused Pallas kernel for the whole
-    page decode (phase A + phase B). Returns (out [P, page_size] uint8,
-    isdelta [P], ncmds [P], stats [P, 2])."""
+    """Headers in XLA, tables on-chip, then ONE fused Pallas kernel for
+    the whole page decode (phase A + phase B). Returns (out
+    [P, page_size] uint8, isdelta [P], ncmds [P], stats [P, 2])."""
+    buf3, npostfix, ndirect, isdelta = \
+        _parse_and_interleave(words, in_sizes, wl)
+    return decode_fused_from_buf(buf3, npostfix, ndirect, isdelta,
+                                 page_size, max_cmds, interpret, sweep_cw)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def decode_fused_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
+                          page_size: int, max_cmds: int,
+                          interpret: bool = False, sweep_cw: int = 128):
+    """Fused decode from an already-interleaved buffer (host-staged via
+    native.stage_pages or _parse_and_interleave): on-chip table load +
+    the fused phase A+B kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P, W = words.shape
-    buf3, bp_local, tabs = _prologue(words, in_sizes, wl)
-    (npostfix, ndirect, isdelta), (icp_s, icp_triv), (dst_s, dst_triv), \
-        (lit_s, lit_triv) = tabs
+    P = buf3.shape[1]
+    bp_local, tabs = _tables_from_buf(buf3, interpret)
+    (icp_s, icp_triv), (dst_s, dst_triv), (lit_s, lit_triv) = tabs
     wc = buf3.shape[0]
     bp0 = jnp.pad(bp_local, ((0, 0), (0, 128 - NBS)))
     npd = jnp.stack([npostfix, ndirect], axis=1)

@@ -208,11 +208,60 @@ def decode_archives_batched(blobs: Sequence[bytes],
     return results
 
 
-def encode_archives(datas: Sequence[bytes], page_size: int = 65536
-                    ) -> dict[int, bytes]:
+def encode_archives(datas: Sequence[bytes], page_size: int = 65536,
+                    process=None, quality: int = 11) -> dict[int, bytes]:
     """Encode this process's share of inputs (native CPU encoder)."""
     from .. import api
     out: dict[int, bytes] = {}
-    for i in my_archive_indices(len(datas)):
-        out[i] = api.encode(datas[i], page_size=page_size)
+    for i in my_archive_indices(len(datas), process):
+        out[i] = api.encode(datas[i], page_size=page_size,
+                            quality=quality)
     return out
+
+
+def encode_archives_gather(datas: Sequence[bytes],
+                           page_size: int = 65536,
+                           process=None, quality: int = 11
+                           ) -> list[bytes]:
+    """Encode the local share, then all-gather so EVERY process holds all
+    compressed archives in input order — the multi-host analog of the
+    reference's container assembly (BrotligEncoder.cpp:469-516), and the
+    encode mirror of decode_archives_gather's owned-bytes exchange.
+
+    Unlike decode (where output sizes derive from headers every process
+    already holds), compressed sizes are only known to the owner, so ONE
+    small [n] size allgather precedes the owned-bytes payload exchange;
+    the payload buffers stay O(total_bytes) per receiver — the
+    information-theoretic floor — padded to the largest per-process
+    share. Requires jax.distributed (nprocs == 1 degrades to a local
+    encode)."""
+    local = encode_archives(datas, page_size, process, quality)
+    pid, nproc = process if process is not None else process_info()
+    n = len(datas)
+    if nproc == 1:
+        return [local[i] for i in range(n)]
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    sz_local = np.zeros(n, np.int64)
+    for i, b in local.items():
+        sz_local[i] = len(b)
+    sz_all = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(sz_local)))
+    sizes = [int(sz_all[i % nproc, i]) for i in range(n)]
+
+    # owner p's buffer layout: archives p, p+nproc, ... concatenated
+    offsets = {}
+    share = [0] * nproc
+    for i in range(n):
+        p = i % nproc
+        offsets[i] = share[p]
+        share[p] += sizes[i]
+    pad = max(max(share), 1)
+    buf = np.zeros(pad, np.uint8)
+    for i, b in local.items():
+        buf[offsets[i]: offsets[i] + len(b)] = np.frombuffer(b, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
+    return [g[i % nproc, offsets[i]: offsets[i] + sizes[i]].tobytes()
+            for i in range(n)]

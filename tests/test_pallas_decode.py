@@ -73,7 +73,7 @@ class TestPallasPhaseA:
             nlit = int(np.asarray(ins_x)[p, : ncmds_x[p]].sum())
             assert (litbuf_p[p, :nlit] == litbuf_x[p, :nlit]).all()
 
-    @pytest.mark.parametrize("cw", [128, 512])
+    @pytest.mark.parametrize("cw", [128, 512, 1024])
     def test_end_to_end_decode_two_phase(self, mixed_batch, cw):
         """Two-phase pipeline (phase-A kernel + sweep kernel) with both
         sweep widths: 512 is the hardware-validated default, 128 the
@@ -87,7 +87,7 @@ class TestPallasPhaseA:
         for p, (_, d) in enumerate(keep):
             assert out[p, : len(d)].tobytes() == d
 
-    @pytest.mark.parametrize("cw", [128, 512])
+    @pytest.mark.parametrize("cw", [128, 512, 1024])
     def test_end_to_end_decode_fused(self, mixed_batch, cw):
         """The fused single-dispatch kernel (the default variant) must
         agree byte-for-byte, with both sweep widths."""

@@ -257,3 +257,57 @@ open({str(tmp_path)!r} + f"/ag_{{pid}}.pkl", "wb").write(
             assert len(outs) == len(datas)
             for i, d in enumerate(datas):
                 assert outs[i] == d, f"proc {pid} archive {i}"
+
+    def test_two_process_allgather_encode(self, tmp_path):
+        """jax.distributed 2-process run: encode_archives_gather's
+        owned-bytes exchange (size allgather + payload allgather) hands
+        EVERY process the full ordered set of compressed archives — the
+        encode mirror of the decode gather (round-3 VERDICT item 7;
+        reference analog: container assembly BrotligEncoder.cpp:469-516)."""
+        import pickle
+        import socket
+        import subprocess
+        import sys as _sys
+        import os as _os
+        from brotlig_tpu import native
+        datas = [make_data("text", 24_000 + 900 * i, seed=70 + i)
+                 for i in range(5)]
+        (tmp_path / "datas.pkl").write_bytes(pickle.dumps(datas))
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        repo = C.__file__.rsplit('/brotlig_tpu/', 1)[0]
+        worker = tmp_path / "worker_enc_ag.py"
+        worker.write_text(f"""
+import pickle, sys
+import jax
+jax.distributed.initialize("127.0.0.1:{port}", num_processes=2,
+                           process_id=int(sys.argv[1]))
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")  # build the gloo context
+sys.path.insert(0, {repo!r})
+from brotlig_tpu.utils import jaxcache
+jaxcache.enable()
+from brotlig_tpu.parallel.runtime import encode_archives_gather
+pid = int(sys.argv[1])
+datas = pickle.loads(open({str(tmp_path / 'datas.pkl')!r}, 'rb').read())
+blobs = encode_archives_gather(datas, page_size=32768)
+open({str(tmp_path)!r} + f"/eag_{{pid}}.pkl", "wb").write(
+    pickle.dumps(blobs))
+""")
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = repo           # no axon site: pure-CPU workers
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i)],
+                                  env=env)
+                 for i in range(2)]
+        for p in procs:
+            assert p.wait(timeout=500) == 0
+        all_blobs = []
+        for pid in range(2):
+            blobs = pickle.loads((tmp_path / f"eag_{pid}.pkl").read_bytes())
+            assert len(blobs) == len(datas)
+            all_blobs.append(blobs)
+        assert all_blobs[0] == all_blobs[1]   # both hold identical sets
+        for i, d in enumerate(datas):
+            assert native.decode(all_blobs[0][i]) == d, f"archive {i}"

@@ -92,16 +92,35 @@ def main():
     s_hint = PD.stream_words_hint(comps)
     wl = PD.wl_bucket(s_hint)
 
-    prologue = jax.jit(PD._prologue, static_argnums=(2,))
-    t_pro = timeit("prologue", lambda: fetch(
-        prologue(words, sizes_j, wl)), reps)
+    # round-4 pipeline stages: XLA interleave (legacy words path),
+    # on-chip tables kernel + XLA search-build, host-native staging
+    interleave = jax.jit(
+        lambda w, s: PD._parse_and_interleave(w, s, wl)[0])
+    t_il = timeit("interleave_xla",
+                  lambda: fetch(interleave(words, sizes_j)), reps)
+    buf3 = interleave(words, sizes_j)
 
-    from brotlig_tpu.ops.tables import HEADER_WORDS
-    interleave = jax.jit(lambda w, s: PD._interleave_streams(
-        w, PD.parse_page_headers_full(
-            w[:, :min(W, HEADER_WORDS)], s)[4], wl))
-    t_il = timeit("interleave", lambda: fetch(interleave(words, sizes_j)),
-                  reps)
+    tables = jax.jit(lambda b: PD._tables_from_buf(b, False))
+    t_tab = timeit("tables", lambda: fetch(tables(buf3)), reps)
+
+    from brotlig_tpu import native
+    payload = b"".join(comps)
+    offs_np = np.cumsum([0] + [len(c) for c in comps[:-1]]).astype(
+        np.uint64)
+    szs_np = np.array([len(c) for c in comps], np.uint64)
+    t_host = t_up = float("inf")
+    if native.available():
+        def host_stage():
+            return native.stage_pages(payload, offs_np, szs_np, wl)
+        host_stage()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            b3, npd = host_stage()
+        t_host = (time.perf_counter() - t0) / reps
+
+        def upload():
+            return fetch((jnp.asarray(b3), jnp.asarray(npd)))
+        t_up = timeit("upload", upload, reps)
 
     # two-phase split: phase A kernel alone (start), then the full pair
     wl_b = PD.wl_bucket(s_hint)
@@ -115,13 +134,31 @@ def main():
             reps)
         res[variant] = t
 
+    # staged end-to-end: host stage + upload + fused kernel + fetch
+    if native.available():
+        from brotlig_tpu.ops.decode import (decode_pages_finish,
+                                            decode_pages_start_staged)
+
+        def staged():
+            b3, npd = host_stage()
+            st = decode_pages_start_staged(
+                jnp.asarray(b3), jnp.asarray(npd), PAGE_SIZE, mc,
+                lambda: (words, sizes_j, w_hint), "fused", 512)
+            return fetch(decode_pages_finish(st, PAGE_SIZE, mc)[0])
+        res["fused_staged"] = timeit("fused_staged", staged, reps)
+
+    base = res.get("fused_staged", res["fused"])
     print(json.dumps({
         "pages": n_pages, "bytes": total,
         "fused_gbps": round(total / res["fused"] / 1e9, 5),
-        "shares_of_fused": {
-            "prologue": round(t_pro / res["fused"], 3),
-            "interleave": round(t_il / res["fused"], 3),
-            "phase_a": round(res["phase_a"] / res["fused"], 3)},
+        "staged_gbps": round(total / base / 1e9, 5),
+        "host_stage_s": round(t_host, 4),
+        "shares_of_staged": {
+            "host_stage": round(t_host / base, 3),
+            "upload": round(t_up / base, 3),
+            "tables": round(t_tab / base, 3),
+            "interleave_xla_would_be": round(t_il / base, 3),
+            "phase_a": round(res["phase_a"] / base, 3)},
         "two_phase_over_fused": round(res["two_phase"] / res["fused"], 3),
         "xla_over_fused": round(res["xla"] / res["fused"], 3),
     }), flush=True)
