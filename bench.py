@@ -217,8 +217,9 @@ def main():
         return np.asarray(run_dev(v, cw))
 
     ladder = [(variant, sweep_cw)]
-    if (variant, sweep_cw) == ("fused", 512):      # default: full ladder
-        ladder += [("two_phase", 512), ("two_phase", 128), ("xla", 512)]
+    if (variant, sweep_cw) == ("fused", 1024):     # default: full ladder
+        ladder += [("fused", 512), ("two_phase", 512), ("two_phase", 128),
+                   ("xla", 512)]
     elif variant != "xla":
         ladder += [("xla", 512)]
     out_np = None
@@ -349,10 +350,16 @@ def _precond_bench(variant, sweep_cw):
 
     out = blg_decode(blob, variant=variant, sweep_cw=sweep_cw)  # warm
     assert out == tex, "precond bench roundtrip mismatch"
+    # timed region keeps the deconditioned result device-resident
+    # (forced by a fetched reduction), same protocol as the decode metric
+    from brotlig_tpu.ops.decode import decode_stream_jax
+    import jax.numpy as jnp
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = blg_decode(blob, variant=variant, sweep_cw=sweep_cw)
+        res = decode_stream_jax(blob, variant=variant, sweep_cw=sweep_cw,
+                                return_device=True)
+        int(jnp.sum(res.astype(jnp.uint32)))
         times.append(time.perf_counter() - t0)
     return len(tex) / min(times) / 1e9
 

@@ -76,7 +76,7 @@ def decompressed_size(data: bytes) -> int:
 
 
 def decode(data: bytes, backend: str = "auto", feedback=None,
-           variant: str | None = None, sweep_cw: int = 512) -> bytes:
+           variant: str | None = None, sweep_cw: int = 1024) -> bytes:
     """Decode a Brotli-G container.
 
     backend: "tpu" forces the JAX path, "cpu" the scalar oracle, "auto"

@@ -184,8 +184,11 @@ def parse_container(data: bytes) -> ContainerInfo:
     num_pages = header.num_pages
     page_size = header.page_size
     out_size = header.uncompressed_size
-    if dc_params is not None:
-        dc_params.initialize(out_size)
+    if dc_params is not None and not dc_params.initialize(out_size):
+        # header geometry inconsistent with the claimed output size: a
+        # malformed container must not reach the decondition maps (which
+        # are cached by geometry — ADVICE r3)
+        raise CorruptStream("precondition geometry does not match size")
     if num_pages == 0:
         return ContainerInfo(header, dc_params,
                              np.zeros(0, np.int64), np.zeros(0, np.int64),

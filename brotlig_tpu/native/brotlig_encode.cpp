@@ -697,6 +697,12 @@ struct CostModel {
   double distcost[kDistAlphabet];
   double cmd_last[24];   // implicit-ring0 command symbol, by copy code
   double cmd_expl[24];   // explicit-distance command symbol, by copy code
+  // exact joint command-symbol costs [use_last][ins code][copy code] —
+  // the DP tracks each node's pending insert run (anchor), so relax can
+  // price the REAL (ins, cpy) symbol + insert extra bits instead of the
+  // insert-code expectation above (round-4; the expectation understated
+  // long-insert text commands, part of the q11 text parse gap)
+  double cmd_sym[2][24][24];
   double lit_step_extra;
 };
 
@@ -778,6 +784,18 @@ void BuildCostModel(const uint8_t* d, uint32_t n,
     cm->cmd_last[cc] = wl / sw;
     cm->cmd_expl[cc] = we / sw;
   }
+  for (uint32_t ic = 0; ic < 24; ++ic) {
+    for (uint32_t cc = 0; cc < 24; ++cc) {
+      uint32_t pe = CombineLengthCodes(ic, cc, false);
+      cm->cmd_sym[0][ic][cc] = hc[pe] ? cl[pe] : unseen;
+      if (ic < 8 && cc < 16) {
+        uint32_t pl = CombineLengthCodes(ic, cc, true);
+        cm->cmd_sym[1][ic][cc] = hc[pl] ? cl[pl] : unseen;
+      } else {
+        cm->cmd_sym[1][ic][cc] = 1e30;  // not representable as last-dist
+      }
+    }
+  }
   // spread insert extra bits over the literals that cause them (plus a
   // small constant so zero-extra pages still prefer matches slightly)
   cm->lit_step_extra = insert_extra / std::max<double>(nl, 1) + 0.05;
@@ -816,14 +834,18 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
   // node state; one ring per node is the standard approximation)
   std::vector<std::array<uint32_t, 4>> ringst(n + 1,
                                               {4u, 11u, 15u, 16u});
+  // pending-insert anchor per node (last command end on the best path):
+  // lets relax price the exact (ins, cpy) symbol + insert extra bits
+  std::vector<uint32_t> anch(n + 1, 0);
   dp[0] = 0;
   for (uint32_t i = 0; i < n; ++i) {
-    // literal step
-    double lc = dp[i] + litcost[d[i]] + lit_step_extra;
+    // literal step (insert extra bits are paid exactly at the command)
+    double lc = dp[i] + litcost[d[i]];
     if (lc < dp[i + 1]) {
       dp[i + 1] = lc;
       from_len[i + 1] = 0;
       ringst[i + 1] = ringst[i];
+      anch[i + 1] = anch[i];
     }
     uint32_t skip_to = 0;  // set by the long-match cutoff
     if (i + 2 <= n) {
@@ -844,6 +866,14 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
         if (rsym != 0) {
           rnew = {dist, ringst[i][0], ringst[i][1], ringst[i][2]};
         }
+        // exact command pricing: the pending insert run is known from
+        // the node's anchor, so the real joint (ins, cpy) symbol and
+        // both extra-bit fields are charged (round-4; replaces the
+        // insert-code expectation)
+        uint32_t ic2 = GetInsertCode(i - anch[i]);
+        double icost = kInsExtra[ic2];
+        const double* sym_e = cm.cmd_sym[0][ic2];
+        const double* sym_l = cm.cmd_sym[1][ic2];
         // try the full length and the base length of each copy code bucket
         // (short lengths 2-3 included: a ring-hit len-2 copy beats two
         // literals whenever the command symbol is cheap)
@@ -857,15 +887,16 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
           uint32_t cc2 = GetCopyCode(L);
           double ccost;
           if (rsym == 0 && cc2 < 16)
-            ccost = std::min(cm.cmd_last[cc2], cm.cmd_expl[cc2] + dc);
+            ccost = std::min(sym_l[cc2], sym_e[cc2] + dc);
           else
-            ccost = cm.cmd_expl[cc2] + dc;
-          double cost = dp[i] + ccost + kCpyExtra[cc2];
+            ccost = sym_e[cc2] + dc;
+          double cost = dp[i] + icost + ccost + kCpyExtra[cc2];
           if (cost < dp[i + L]) {
             dp[i + L] = cost;
             from_len[i + L] = L;
             from_dist[i + L] = dist;
             ringst[i + L] = rnew;
+            anch[i + L] = i + L;
           }
         }
       };
@@ -994,8 +1025,9 @@ std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
     return greedy;
   }
   // q11 searches deep chains, like the reference's HQ Zopfli hasher
-  // (PageEncoder.cpp:87-147 wraps BrotliCreateHqZopfliBackwardReferences)
-  max_chain = std::max(max_chain, 256);
+  // (PageEncoder.cpp:87-147 wraps BrotliCreateHqZopfliBackwardReferences);
+  // 256 -> 512 in round 4: -0.15% corpus for ~1.4x q11 wall time
+  max_chain = std::max(max_chain, 512);
   // q11: cost-model optimal parses with and without ring-aware distance
   // costs (the ring approximation wins on data with repeated strides and
   // loses on some text; neither dominates), keep the smallest page

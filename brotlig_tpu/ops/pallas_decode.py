@@ -1025,7 +1025,11 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                 lambda cr: jnp.max(cr[1]) > 0, lbody,
                 (byte, is_lit.astype(I32)))
 
-            # copy fetch from the packed output rows
+            # copy fetch from the packed output rows (512B per row —
+            # independent of CW, so the sentinel/clip bound is S//512,
+            # NOT ngrp: using ngrp at CW=1024 left upper-half sources
+            # forever pending = an in-kernel infinite loop)
+            nout = S // 512
             csel = jnp.where(is_lit, 0, jnp.clip(src, 0, S - 1))
             cwch = csel >> 9
             clane = (csel >> 2) & 127
@@ -1034,8 +1038,8 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
             def cbody(carry):
                 byte, pend = carry
                 on = pend != 0
-                k = jnp.min(jnp.where(on, cwch, ngrp))
-                row = out_ref[jnp.clip(k, 0, ngrp - 1)]
+                k = jnp.min(jnp.where(on, cwch, nout))
+                row = out_ref[jnp.clip(k, 0, nout - 1)]
                 g = (g2d(row, clane) >> cbyte) & 255
                 hit = on & (cwch == k)
                 return (jnp.where(hit, g, byte), jnp.where(hit, 0, pend))

@@ -35,8 +35,14 @@ _MAP_CACHE_MAX = 16
 
 
 def _geom_key(params: DataConditionParams):
-    return (params.format, params.width_in_pixels, params.height_in_pixels,
-            params.num_mip_levels, params.row_pitch_in_bytes,
+    # key on the DERIVED geometry the map build actually consumes
+    # (build_cond_map reads block dims + per-mip pitches, which
+    # parse_container backfills directly — keying on the pixel fields
+    # alone could alias two containers onto one cached map, ADVICE r3)
+    return (params.format, params.num_mip_levels,
+            tuple(params.width_in_blocks[: params.num_mip_levels]),
+            tuple(params.height_in_blocks[: params.num_mip_levels]),
+            tuple(params.pitch_in_bytes[: params.num_mip_levels]),
             params.pitch_d3d12_aligned, params.swizzle, params.delta_encode)
 
 

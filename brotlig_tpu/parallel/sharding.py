@@ -51,7 +51,7 @@ def decode_pages_sharded(words, in_sizes, page_size: int, mesh: Mesh):
 
 
 def decode_pages_sharded_pallas(words, in_sizes, page_size: int,
-                                mesh: Mesh, wl: int, sweep_cw: int = 512,
+                                mesh: Mesh, wl: int, sweep_cw: int = 1024,
                                 interpret: bool | None = None):
     """The flagship Pallas route under shard_map: every mesh shard runs
     the fused single-dispatch decode kernel (phase A + B in one

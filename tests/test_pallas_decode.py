@@ -101,6 +101,29 @@ class TestPallasPhaseA:
             assert out[p, : len(d)].tobytes() == d
 
 
+@pytest.mark.parametrize("cw", [512, 1024])
+def test_full_page_wide_sweep(cw):
+    """FULL pages (content spans the whole page) through the wide sweep:
+    copy sources land in the upper output half, which the cw=1024 kernel
+    once left forever pending in its copy-fetch loop (the out-row bound
+    is S//512 independent of the group width — hardware kernel hang,
+    round 4). Small-content pages never reach that region."""
+    n = 32768
+    datas = [make_data("text", n, seed=31), make_data("repetitive", n,
+                                                      seed=32)]
+    comps = [encode_page(d, is_last=True) for d in datas]
+    keep = [(c, d) for c, d in zip(comps, datas) if c is not None]
+    assert keep
+    words, sizes = batch([c for c, _ in keep], n)
+    s_hint = PD.stream_words_hint([c for c, _ in keep])
+    out, _ = decode_pages(words, sizes, n, max_cmds_for(n),
+                          w_hint=None, s_hint=s_hint,
+                          variant="fused", sweep_cw=cw)
+    out = np.asarray(out)
+    for p, (_, d) in enumerate(keep):
+        assert out[p, : len(d)].tobytes() == d
+
+
 def test_stream_words_hint_covers_actual_layout():
     # the hint must bound the per-stream word cursor reach for every page
     n = 32768

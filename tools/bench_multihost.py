@@ -1,12 +1,12 @@
-"""Multi-process decode scaling (BASELINE config 5 measurement).
+"""Multi-process decode AND encode scaling (BASELINE config 5).
 
 Runs the same archive workload with 1, 2 and 4 worker processes (CPU
 backend, each process pinned to ONE core so per-process compute is
 constant across every point on this 4-core host) and reports wall time +
 scaling efficiency T1 / (nproc * Tn). Multi-process runs use
-jax.distributed and finish with the real `decode_archives_gather`
-owned-bytes ordered all-gather, so the measured time includes the
-cross-process assembly.
+jax.distributed and finish with the real owned-bytes ordered all-gathers
+(`decode_archives_gather` / `encode_archives_gather`), so the measured
+times include the cross-process assembly.
 
 Usage: python tools/bench_multihost.py [n_archives] [archive_kb]
 """
@@ -52,6 +52,23 @@ outs = decode_archives_gather(blobs, batch_pages=8, process=proc)
 dt = time.perf_counter() - t0
 print(f"WORKER {{pid}} time {{dt:.3f}}s decode {{t_dec:.3f}}s "
       f"n={{len(outs)}}", flush=True)
+# encode points: local-share encode, then the owned-bytes encode gather
+from brotlig_tpu.parallel.runtime import (encode_archives,
+                                          encode_archives_gather)
+datas = [outs[i] for i in range(len(outs))]
+encode_archives(datas[:1], page_size=32768, process=proc)   # warm
+if nproc > 1:
+    multihost_utils.sync_global_devices("enc-start")
+t0 = time.perf_counter()
+encode_archives(datas, page_size=32768, process=proc)
+t_enc = time.perf_counter() - t0
+if nproc > 1:
+    multihost_utils.sync_global_devices("encg-start")
+t0 = time.perf_counter()
+eouts = encode_archives_gather(datas, page_size=32768, process=proc)
+t_encg = time.perf_counter() - t0
+print(f"WORKER {{pid}} encode {{t_enc:.3f}}s encode+gather "
+      f"{{t_encg:.3f}}s n={{len(eouts)}}", flush=True)
 '''
 
 
