@@ -289,21 +289,33 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
     ring_code = jnp.where(is_copy, ring_code, -1)
     code0 = ring_code == 0
 
-    def dist_cost(syms, extra_nb, mask):
+    def dist_cost(syms, extra_nb, mask, presorted: bool = False):
         """Entropy + extra bits + ~6 bits/used-symbol storage estimate
-        (native brotlig_encode.cpp:513-519). syms masked to A_DST."""
+        (native brotlig_encode.cpp:513-519). syms masked to A_DST.
+        presorted=True skips the sort (caller guarantees syms ascending
+        under the mask, mask-false entries at the end)."""
         n_m = jnp.sum(mask.astype(I32), axis=1).astype(jnp.float32)
-        sv = jnp.sort(jnp.where(mask, syms, A_DST), axis=1)
+        if presorted:
+            sv = jnp.where(mask, syms, A_DST)
+        else:
+            sv = jnp.sort(jnp.where(mask, syms, A_DST), axis=1)
         seg = jnp.concatenate(
             [jnp.ones((P, 1), bool), sv[:, 1:] != sv[:, :-1]],
             axis=1) & (sv < A_DST)
+        # per-run counts evaluated in place: the next run start after
+        # each seg position via an exclusive suffix-min (round 4 —
+        # replaces a position-compaction sort per evaluation; with the
+        # presorted distance grid this leaves 3 sorts total in
+        # _build_fields instead of 36)
         pos = jnp.broadcast_to(cid, (P, N))
-        srt = jnp.sort(jnp.where(seg, pos, N), axis=1)
-        cnt = (jnp.concatenate(
-            [srt[:, 1:], jnp.full((P, 1), N, I32)], axis=1) - srt)
-        limit = n_m[:, None] - srt.astype(jnp.float32)
+        segpos = jnp.where(seg, pos, N)
+        sfx = jax.lax.cummin(segpos[:, ::-1], axis=1)[:, ::-1]
+        nxt = jnp.concatenate([sfx[:, 1:], jnp.full((P, 1), N, I32)],
+                              axis=1)
+        cnt = jnp.where(seg, jnp.minimum(nxt, N) - pos, 0)
+        limit = n_m[:, None] - pos.astype(jnp.float32)
         cntf = jnp.minimum(cnt.astype(jnp.float32), jnp.maximum(limit, 0))
-        live = (srt < N) & (cntf > 0)
+        live = seg & (cntf > 0)
         ent = jnp.sum(jnp.where(
             live, cntf * (jnp.log2(jnp.maximum(n_m[:, None], 1))
                           - jnp.log2(jnp.maximum(cntf, 1))) + 6.0, 0),
@@ -313,9 +325,17 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
 
     # ---- per-page (npostfix, ndirect) search over the non-exact-ring
     # distances (native brotlig_encode.cpp:474-527, ref PageEncoder.cpp:
-    # 324-377): exact-hit codes 0-3 excluded from the candidate set ----
+    # 324-377): exact-hit codes 0-3 excluded from the candidate set.
+    # The distance -> symbol map is monotone non-decreasing in the
+    # distance for every (np, nd), so ONE sort of the distances serves
+    # all 16 grid points (round 4: replaces a sort per grid point — the
+    # serializer's dominant op cost) ----
     exact_hit = (ring_code >= 0) & (ring_code <= 3)
     search = is_copy & ~exact_hit
+    BIGD = jnp.int32(1) << 28
+    d_srt = jnp.sort(jnp.where(search, d, BIGD), axis=1)
+    m_srt = d_srt < BIGD
+    d_eval = jnp.where(m_srt, d_srt, 1)
     best_cost = jnp.full((P,), jnp.inf, jnp.float32)
     best_np = jnp.zeros((P,), I32)
     best_ndist = jnp.zeros((P,), I32)
@@ -323,8 +343,8 @@ def _build_fields(pages, in_sizes, ins, cpy, dist, ncmds, max_cmds):
         for ndist_c in (0, 3, 8, 15):
             npv = jnp.full((P,), np_c, I32)
             ndv = jnp.full((P,), ndist_c << np_c, I32)
-            sym_c, nb_c, _ = _encode_distance_vec(d, npv, ndv)
-            cost = dist_cost(sym_c, nb_c, search)
+            sym_c, nb_c, _ = _encode_distance_vec(d_eval, npv, ndv)
+            cost = dist_cost(sym_c, nb_c, m_srt, presorted=True)
             take = cost < best_cost
             best_cost = jnp.where(take, cost, best_cost)
             best_np = jnp.where(take, np_c, best_np)
@@ -666,12 +686,15 @@ def pack_pages_device(pages, in_sizes, ins, cpy, dist, ncmds,
     starts = jnp.cumsum(cov, axis=1) - cov          # page pos of cmd start
     cum_ins = jnp.cumsum(ins, axis=1)               # inclusive
     # per position: is it a literal (inside an insert region or the tail)?
-    # command covering pos: scatter-max+cummax over starts
-    cmark = jnp.zeros((P, S), I32)
-    spos = jnp.where(valid, jnp.clip(starts, 0, S), S)
-    cmark = cmark.at[rows[:, None], spos].max(
-        jnp.broadcast_to(cid, (P, N)), mode="drop")
-    cmd_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, N - 1)
+    # covering command: starts are nondecreasing, so a log-depth
+    # searchsorted gives the last command with start <= pos (ties pick
+    # the largest index, matching the old scatter-max semantics) —
+    # scatters are ~serial on TPU (0.15us/element, ~80ms per [P,16K]
+    # batch), round 4
+    starts_m = jnp.where(valid, starts, jnp.int32(1) << 29)
+    cmd_of = jnp.clip(jax.vmap(
+        lambda a, q: jnp.searchsorted(a, q, side="right"))(
+        starts_m, pos_idx) - 1, 0, N - 1)
     st_of = jnp.take_along_axis(starts, cmd_of, axis=1)
     ins_of = jnp.take_along_axis(ins, cmd_of, axis=1)
     covered = fields_covered = jnp.sum(cov, axis=1)
@@ -977,6 +1000,8 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
     raw fallback must store (the decoder skips delta decode on raw pages).
     """
     from .encode import find_commands
+    from ..utils import jaxcache as _jc
+    _jc.clear_if_bloated()   # LLVM-JIT mmap-region guard (see decode.py)
     max_cmds = page_size // 4 + 16   # every command copies >= MIN_MATCH=4
     pages = jnp.asarray(pages_np)
     in_sizes = jnp.asarray(in_sizes_np)

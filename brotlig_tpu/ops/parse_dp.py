@@ -109,11 +109,12 @@ def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
     pos_idx = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (P, S))
     cov = ins + cpy
     starts = jnp.cumsum(cov, axis=1) - cov
-    cmark = jnp.zeros((P, S), I32)
-    spos = jnp.where(valid, jnp.clip(starts, 0, S), S)
-    cmark = cmark.at[rows[:, None], spos].max(
-        jnp.broadcast_to(cid, (P, N)), mode="drop")
-    cmd_of = jnp.clip(jax.lax.cummax(cmark, axis=1), 0, N - 1)
+    # covering command via searchsorted over the nondecreasing starts
+    # (replaces scatter-max+cummax; scatters are ~serial on TPU — r4)
+    starts_m = jnp.where(valid, starts, jnp.int32(1) << 29)
+    cmd_of = jnp.clip(jax.vmap(
+        lambda a, q: jnp.searchsorted(a, q, side="right"))(
+        starts_m, pos_idx) - 1, 0, N - 1)
     st_of = jnp.take_along_axis(starts, cmd_of, axis=1)
     ins_of = jnp.take_along_axis(ins, cmd_of, axis=1)
     covered = jnp.sum(cov, axis=1)
@@ -391,6 +392,8 @@ def find_commands_dp(pages, in_sizes, max_cmds: int,
     (brotlig_encode.cpp::ParseOptimal, ring-aware iters=3).
     greedy_cmds: optional precomputed find_commands output to seed the
     cost model (avoids recomputing the match scan)."""
+    from ..utils import jaxcache as _jc
+    _jc.clear_if_bloated()   # LLVM-JIT mmap-region guard (see decode.py)
     if iters is None:
         # cost-model iterations (native ring-aware default: 3); env knob
         # for quality/compile-time experiments

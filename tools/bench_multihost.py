@@ -94,11 +94,15 @@ def run(nproc: int, blob_path: str, n_arch: int) -> float:
     wall = time.perf_counter() - t0
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o
-    tt = [float(line.split("time ")[1].split("s")[0])
-          for o in outs for line in o.splitlines() if "WORKER" in line]
-    td = [float(line.split("decode ")[1].split("s")[0])
-          for o in outs for line in o.splitlines() if "WORKER" in line]
-    return max(tt), max(td)
+    lines = [ln for o in outs for ln in o.splitlines() if "WORKER" in ln]
+    dec_lines = [ln for ln in lines if " time " in ln]
+    enc_lines = [ln for ln in lines if " encode " in ln]
+    tt = [float(ln.split("time ")[1].split("s")[0]) for ln in dec_lines]
+    td = [float(ln.split("decode ")[1].split("s")[0]) for ln in dec_lines]
+    te = [float(ln.split("encode ")[1].split("s")[0]) for ln in enc_lines]
+    tg = [float(ln.split("encode+gather ")[1].split("s")[0])
+          for ln in enc_lines]
+    return max(tt), max(td), max(te), max(tg)
 
 
 def main():
@@ -115,14 +119,18 @@ def main():
                                      delete=False) as f:
         pickle.dump(blobs, f)
         path = f.name
-    t1, t1d = run(1, path, n_arch)
+    t1, t1d, t1e, t1g = run(1, path, n_arch)
     print(f"archives={n_arch} x {kb}KiB total={total/1e6:.1f}MB")
-    print(f"1-proc: decode {t1d:.2f}s, decode+gather {t1:.2f}s")
+    print(f"1-proc: decode {t1d:.2f}s, decode+gather {t1:.2f}s, "
+          f"encode {t1e:.2f}s, encode+gather {t1g:.2f}s")
     for n in (2, 4):
-        tn, tnd = run(n, path, n_arch)
-        print(f"{n}-proc: decode {tnd:.2f}s, decode+gather {tn:.2f}s")
+        tn, tnd, tne, tng = run(n, path, n_arch)
+        print(f"{n}-proc: decode {tnd:.2f}s, decode+gather {tn:.2f}s, "
+              f"encode {tne:.2f}s, encode+gather {tng:.2f}s")
         print(f"scaling efficiency (n={n}): decode-only "
-              f"{t1d/(n*tnd):.3f}, with ordered gather {t1/(n*tn):.3f}")
+              f"{t1d/(n*tnd):.3f}, with ordered gather {t1/(n*tn):.3f}, "
+              f"encode-only {t1e/(n*tne):.3f}, with gather "
+              f"{t1g/(n*tng):.3f}")
 
 
 if __name__ == "__main__":
