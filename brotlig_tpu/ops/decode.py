@@ -575,10 +575,17 @@ def decode_pages_start(words: jnp.ndarray, in_sizes: jnp.ndarray,
         def rebuild():
             return words, in_sizes, w_hint
         if variant is None or variant == "fused":
+            wl = PD.wl_bucket(s_hint)
+            interp = _pallas_interpret()
             out = PD.decode_fused_pallas(
-                words, in_sizes, page_size, max_cmds,
-                PD.wl_bucket(s_hint), _pallas_interpret(), sweep_cw)
-            return ("fused", (out, rebuild))
+                words, in_sizes, page_size, max_cmds, wl, interp,
+                sweep_cw, True)
+
+            def retry_full():
+                return PD.decode_fused_pallas(
+                    words, in_sizes, page_size, max_cmds, wl, interp,
+                    sweep_cw, False)
+            return ("fused", (out, rebuild, retry_full))
         out = PD.phase_a_pallas(words, in_sizes, page_size, max_cmds,
                                 PD.wl_bucket(s_hint), _pallas_interpret())
         # rebuild rides along for the rare chunk-overflow fallback
@@ -600,10 +607,15 @@ def decode_pages_start_staged(buf3, npd, page_size: int, max_cmds: int,
     ndi = npd[:, 1]
     isd = npd[:, 2]
     if variant is None or variant == "fused":
+        interp = _pallas_interpret()
         out = PD.decode_fused_from_buf(buf3, npf, ndi, isd, page_size,
-                                       max_cmds, _pallas_interpret(),
-                                       sweep_cw)
-        return ("fused", (out, rebuild))
+                                       max_cmds, interp, sweep_cw, True)
+
+        def retry_full():
+            return PD.decode_fused_from_buf(buf3, npf, ndi, isd,
+                                            page_size, max_cmds, interp,
+                                            sweep_cw, False)
+        return ("fused", (out, rebuild, retry_full))
     out = PD.phase_a_from_buf(buf3, npf, ndi, isd, page_size, max_cmds,
                               _pallas_interpret())
     return ("pallas", (out, rebuild, sweep_cw))
@@ -645,11 +657,21 @@ def _finish_pallas_state(data, page_size: int, max_cmds: int):
 
 def _finish_fused_state(data, page_size: int, max_cmds: int):
     """The fused kernel already produced the pages; fetch its stats to
-    detect literal-chunk overflow (lockstep trips in extremely unbalanced
-    batches) and rerun those through the XLA wavefront if needed."""
+    detect overflow of the tight VMEM buckets (command rounds exhausted
+    or literal chunks at capacity) and rerun with the full worst-case
+    bounds; a full-bound literal-chunk overflow (lockstep trips in
+    extremely unbalanced batches) reruns through the XLA wavefront."""
     from . import pallas_decode as PD
-    (out_b, isdelta, _ncmds, stats), rebuild = data
+    (out_b, isdelta, _ncmds, stats), rebuild, retry_full = data
     stats_np = np.asarray(stats)
+    mc_t, cap_t = PD.fused_bounds(page_size, max_cmds, True)
+    if int(stats_np[:, 1].max()) >= mc_t // NBS \
+            or int(stats_np[:, 0].max()) >= cap_t - 1:
+        # rounds-used == R is necessary for command overflow (a page that
+        # legitimately finishes in exactly R rounds reruns too — rare and
+        # merely redundant, never wrong)
+        out_b, isdelta, _ncmds, stats = retry_full()
+        stats_np = np.asarray(stats)
     if int(stats_np[:, 0].max()) >= \
             PD._fused_chunks(page_size, max_cmds) - 1:
         words, in_sizes, w_hint = rebuild()

@@ -1451,19 +1451,42 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
 BIG_START = 1 << 29      # "never wins the covering-command search"
 
 
-def _fused_chunks(page_size: int, max_cmds: int) -> int:
-    """Literal-chunk capacity bound (identical to phase A's)."""
-    return max_cmds // NBS + 4 * ((page_size + 64) // CHUNK_W) + 2
+def _fused_chunks(page_size: int, max_cmds: int, lit_mult: int = 4) -> int:
+    """Literal-chunk capacity bound (identical to phase A's).
+
+    lit_mult scales the lockstep-overshoot slack on the all-literals term
+    (chunk slots are consumed at the block-max rate, so unbalanced blocks
+    need headroom): 4 is the proven-safe worst-case bound; the tight
+    bucket uses 2 and relies on the stats-checked rerun fallback."""
+    return max_cmds // NBS + lit_mult * ((page_size + 64) // CHUNK_W) + 2
+
+
+def fused_bounds(page_size: int, max_cmds: int, tight: bool):
+    """(command bound, literal-chunk capacity) for the fused kernel.
+
+    tight=True buckets the command planes at page_size/4 commands (avg
+    covered length < 4 B/cmd only on near-incompressible data, which the
+    encoders store raw) and halves the literal-chunk slack: the VMEM
+    footprint shrinks ~40%, letting _fused_pb fit 2x the pages per block
+    and halving the lockstep round-loop iteration count. Overflow is
+    detected from the kernel's stats output (rounds used == R, or chunk
+    count at capacity) and the batch reruns with the full bounds — the
+    same degrade-don't-corrupt pattern as the literal-chunk fallback."""
+    if not tight:
+        return max_cmds, _fused_chunks(page_size, max_cmds)
+    mc = min(max_cmds, max((page_size // 4 + 127) // 128 * 128, 2048))
+    return mc, _fused_chunks(page_size, mc, lit_mult=2)
 
 
 def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
-                      sweep_cw: int):
+                      sweep_cw: int, max_chunks: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     S = page_size
     R = max_cmds // NBS
-    max_chunks = _fused_chunks(page_size, max_cmds)
+    if max_chunks is None:
+        max_chunks = _fused_chunks(page_size, max_cmds)
     ncmdch = (max_cmds + 127) // 128
     nrecch = (max_chunks + 127) // 128
     cb4 = (max_chunks + 3) // 4
@@ -1687,9 +1710,16 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
     return kernel
 
 
-def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int) -> int:
-    """Pages per fused-kernel block under the ~13 MB VMEM budget."""
-    max_chunks = _fused_chunks(page_size, max_cmds)
+def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int,
+              max_chunks: int | None = None) -> int:
+    """Pages per fused-kernel block under the ~13 MB VMEM budget.
+
+    Bigger blocks amortize the lockstep round loop's fixed per-iteration
+    cost (scalar control + the fetch6 ladder) over more pages: the grid
+    runs blocks sequentially, so total iterations = sum over blocks of
+    the block-max round count."""
+    if max_chunks is None:
+        max_chunks = _fused_chunks(page_size, max_cmds)
     ncmdch = (max_cmds + 127) // 128
     nrecch = (max_chunks + 127) // 128
     cb4 = (max_chunks + 3) // 4
@@ -1697,29 +1727,36 @@ def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int) -> int:
     wpp = (2 * wc * 128 + 4 * ncmdch * 128 + cb4 * 128 + nrecch * 128
            + (nch // 4) * 128 + 2 * (NC_ICP + NC_DST + NC_LIT) * 128
            + 1024)
-    pb = 8
+    pb = min(32, P)
     while pb > 1 and (pb * wpp * 4 > 13 * (1 << 20) or P % pb):
         pb -= 1
     return pb
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def decode_fused_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
                         page_size: int, max_cmds: int, wl: int,
-                        interpret: bool = False, sweep_cw: int = 128):
+                        interpret: bool = False, sweep_cw: int = 128,
+                        tight: bool = False):
     """Headers in XLA, tables on-chip, then ONE fused Pallas kernel for
     the whole page decode (phase A + phase B). Returns (out
-    [P, page_size] uint8, isdelta [P], ncmds [P], stats [P, 2])."""
+    [P, page_size] uint8, isdelta [P], ncmds [P], stats [P, 2]).
+
+    tight=True runs with bucketed command/chunk bounds (fused_bounds):
+    2x pages per block, caller MUST check stats for overflow and rerun
+    with tight=False (decode.py::_finish_fused_state does)."""
     buf3, npostfix, ndirect, isdelta = \
         _parse_and_interleave(words, in_sizes, wl)
     return decode_fused_from_buf(buf3, npostfix, ndirect, isdelta,
-                                 page_size, max_cmds, interpret, sweep_cw)
+                                 page_size, max_cmds, interpret, sweep_cw,
+                                 tight)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def decode_fused_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
                           page_size: int, max_cmds: int,
-                          interpret: bool = False, sweep_cw: int = 128):
+                          interpret: bool = False, sweep_cw: int = 128,
+                          tight: bool = False):
     """Fused decode from an already-interleaved buffer (host-staged via
     native.stage_pages or _parse_and_interleave): on-chip table load +
     the fused phase A+B kernel."""
@@ -1733,14 +1770,15 @@ def decode_fused_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
     bp0 = jnp.pad(bp_local, ((0, 0), (0, 128 - NBS)))
     npd = jnp.stack([npostfix, ndirect], axis=1)
 
-    pb = _fused_pb(P, wc, page_size, max_cmds)
-    max_chunks = _fused_chunks(page_size, max_cmds)
+    max_cmds, max_chunks = fused_bounds(page_size, max_cmds, tight)
+    pb = _fused_pb(P, wc, page_size, max_cmds, max_chunks)
     ncmdch = (max_cmds + 127) // 128
     nrecch = (max_chunks + 127) // 128
     cb4 = (max_chunks + 3) // 4
     nch = page_size // 128
 
-    kernel = make_fused_kernel(page_size, max_cmds, wc, pb, sweep_cw)
+    kernel = make_fused_kernel(page_size, max_cmds, wc, pb, sweep_cw,
+                               max_chunks)
 
     def vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
