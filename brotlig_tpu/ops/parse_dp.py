@@ -83,10 +83,13 @@ def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
     bytes), and any candidate whose distance ring-codes against the
     inherited state is credited the ring symbol's cost (zero extra bits).
 
-    Returns (litq [P,S], ccq [P,24], cand_len/cand_dist/dcostq [P,S,K+4]):
-      litq   — cost of byte p as a literal, incl. amortized insert extra
-      ccq    — command-symbol + copy-extra cost by copy code
-      dcostq — distance cost of candidate k at p (min of explicit/ring)
+    Returns (litq [P,S], jointEq/jointLq [P,576],
+    cand_len/cand_dist/dpackq [P,S,K+4]):
+      litq    — cost of byte p as a literal (pure table cost)
+      jointEq — joint (ins,cpy) command-symbol cost, explicit-distance form
+      jointLq — same, implicit-ring0 (use_last) form; INF where the form
+                does not exist (ic >= 8 or cc >= 16)
+      dpackq  — (distance cost of candidate k at p << 1) | ring0-hit flag
     """
     P, S = pages.shape
     N = ins.shape[1]
@@ -136,32 +139,28 @@ def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
     dst_c = sym_cost(hist_dst, jnp.sum(hist_dst, axis=1), A_DST, 4.0)
     cmd_c = sym_cost(hist_cmd, jnp.sum(hist_cmd, axis=1), A_CMD, 2.0)
 
-    # ---- command-symbol cost by copy code, weighted over the page's
-    # insert-code distribution (native brotlig_encode.cpp:756-780) ----
-    ic_cmds = ins_code_vec(jnp.where(valid, ins, 0))
-    h_ic = _histogram(ic_cmds, valid, 24)
-    tail_ic = ins_code_vec(tail[:, None])[:, 0]
-    h_ic = h_ic.at[rows, jnp.clip(tail_ic, 0, 23)].add(
-        has_tail.astype(I32))
-    w = h_ic.astype(jnp.float32) + 0.1                      # [P, 24]
+    # ---- exact joint (ins, cpy) command-symbol costs [P, 576]: the DP
+    # carries each node's pending-insert anchor, so relax prices the REAL
+    # joint symbol + both extra-bit fields instead of the insert-code
+    # expectation (mirrors native CostModel::cmd_sym, round-4 — the
+    # expectation understated long-insert text commands) ----
     grid = jnp.arange(24, dtype=I32)
     pe = combine_codes_vec(grid[:, None], grid[None, :],
                            jnp.zeros((24, 24), bool))       # [ic, cc]
     pe_cost = cmd_c[:, pe.reshape(-1)].reshape(P, 24, 24)   # [P, ic, cc]
-    cmd_expl = (jnp.sum(w[:, :, None] * pe_cost, axis=1)
-                / jnp.sum(w, axis=1)[:, None])              # [P, cc]
-    cpy_extra = arith_lut.copy_extra(grid)[None, :].astype(jnp.float32)
-    ccq = jnp.round(2.0 * (cmd_expl + cpy_extra)).astype(I32)
+    jointEq = jnp.round(2.0 * pe_cost).astype(I32).reshape(P, 576)
+    pl = combine_codes_vec(grid[:, None], grid[None, :],
+                           jnp.ones((24, 24), bool))
+    pl_cost = cmd_c[:, pl.reshape(-1)].reshape(P, 24, 24)
+    repr_ok = (grid[:, None] < 8) & (grid[None, :] < 16)    # use_last form
+    jointLq = jnp.where(repr_ok[None],
+                        jnp.round(2.0 * pl_cost).astype(I32),
+                        INF_Q).reshape(P, 576)
 
-    # ---- per-byte literal cost with amortized insert extra bits ----
-    ins_extra = jnp.sum(
-        jnp.where(valid, arith_lut.insert_extra(ic_cmds), 0), axis=1)
-    ins_extra = ins_extra + jnp.where(
-        has_tail, arith_lut.insert_extra(tail_ic[None, :])[0], 0)
-    lit_step = (ins_extra.astype(jnp.float32)
-                / jnp.maximum(n_lits, 1).astype(jnp.float32) + 0.05)
+    # ---- per-byte literal cost (pure table cost: insert extra bits are
+    # now paid exactly at the command via the anchor) ----
     lit_of_byte = jnp.take_along_axis(lit_c, pages.astype(I32), axis=1)
-    litq = jnp.round(2.0 * (lit_of_byte + lit_step[:, None])).astype(I32)
+    litq = jnp.round(2.0 * lit_of_byte).astype(I32)
 
     # ---- inherited ring state per byte (exact replay of the previous
     # parse via _ring_before; tail bytes inherit the post-parse state) ----
@@ -216,23 +215,44 @@ def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
         axis=1).reshape(P, S, K)
     ring_q = jnp.round(2.0 * ring_bits).astype(I32)
     dq = jnp.where(rsym >= 0, jnp.minimum(dq, ring_q), dq)
-    dcostq = jnp.minimum(dq, INF_Q)
-    return litq, ccq, cand_len, cand_dist, dcostq
+    # low bit flags a ring-0 hit: relax may then use the implicit-ring0
+    # (use_last) joint symbol with NO distance emission (jointLq), the
+    # native rsym==0 channel (brotlig_encode.cpp:888-892)
+    dpackq = (jnp.minimum(dq, INF_Q) << 1) | (rsym == 0)
+    return litq, jointEq, jointLq, cand_len, cand_dist, dpackq
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
-def dp_parse(litq, cand_len, dcostq, ccq, B: int, W: int, R: int):
+# insert/copy extra-bit widths by code (RFC 7932), half-bit units
+_INS_EXTRA_Q = 2 * np.asarray(
+    [0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+     6, 7, 8, 9, 10, 12, 14, 24], np.int32)
+_CPY_EXTRA_Q = 2 * np.asarray(
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4,
+     5, 5, 6, 7, 8, 9, 10, 24], np.int32)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
+             B: int, W: int, R: int):
     """Windowed-DP shortest path. Returns combined [P, S] int32 where
     column p-1 holds ((dp[p] half-bits) << LEN_BITS) | from_len(p);
     from_len 0 means a literal step.
 
-    litq/cand_len/dcostq/ccq from build_cost_model; B = block size,
-    W = source window (max match length relaxed), R = match-edge rounds
-    per block. Requires S % B == 0, W % B == 0, W <= 1023.
-    """
+    litq/cand_len/dpackq/jointEq/jointLq from build_cost_model;
+    B = block size, W = source window (max match length relaxed), R =
+    match-edge rounds per block. Requires S % B == 0, W % B == 0,
+    W <= 1023, B <= 63.
+
+    Each node carries its pending-insert ANCHOR (absolute position of the
+    last command end on its best path; native ParseOptimalPass `anch`,
+    brotlig_encode.cpp:837-841), so match relaxes price the exact joint
+    (ins, cpy) symbol + insert extra bits instead of the insert-code
+    expectation. Anchors propagate through the literal closure via a
+    packed argmin-cummin; a match relax that wins sets the target's
+    anchor to the target itself (a command ends there)."""
     P, S = litq.shape
     K = cand_len.shape[2]
-    assert S % B == 0 and W % B == 0 and W < (1 << LEN_BITS)
+    assert S % B == 0 and W % B == 0 and W < (1 << LEN_BITS) and B <= 63
     nblocks = S // B
     INF_C = INF_Q << LEN_BITS
 
@@ -244,9 +264,9 @@ def dp_parse(litq, cand_len, dcostq, ccq, B: int, W: int, R: int):
     clen_p = jnp.concatenate(
         [jnp.zeros((P, W, K), I32), cand_len,
          jnp.zeros((P, B, K), I32)], axis=1)
-    dcst_p = jnp.concatenate(
-        [jnp.full((P, W, K), INF_Q, I32), dcostq,
-         jnp.full((P, B, K), INF_Q, I32)], axis=1)
+    dpk_p = jnp.concatenate(
+        [jnp.full((P, W, K), INF_Q << 1, I32), dpackq,
+         jnp.full((P, B, K), INF_Q << 1, I32)], axis=1)
 
     # static bucket-base edge tables
     LENS = [l for l in CPY_BASE if l <= W]
@@ -258,35 +278,40 @@ def dp_parse(litq, cand_len, dcostq, ccq, B: int, W: int, R: int):
         [[W + t - l for l in LENS] for t in range(B)], np.int32)  # [B, nL]
 
     lens_c = jnp.asarray(lens_np)
-    ccL = ccq[:, jnp.asarray(cc_np)]                        # [P, nL]
+    insx_c = jnp.asarray(_INS_EXTRA_Q)
+    cpyx_c = jnp.asarray(_CPY_EXTRA_Q)
+    cpyx_b = jnp.asarray(_CPY_EXTRA_Q[cc_np])               # [nL]
+    ccb = jnp.asarray(cc_np)
 
-    # full-length edge parts are position-static too; computed per block
     rows = jnp.arange(P, dtype=I32)[:, None]
 
     init_win = jnp.full((P, W), INF_C, I32).at[:, W - 1].set(0)
+    init_anch = jnp.zeros((P, W), I32)      # node dp[0] has anchor 0
 
-    def block(dpwin, k):
+    def block(carry, k):
+        dpwin, anchwin = carry
         s0 = k * B
         litw = jax.lax.dynamic_slice(litq_p, (0, s0 + 1), (P, W + B))
         clenw = jax.lax.dynamic_slice(clen_p, (0, s0 + 1, 0), (P, W + B, K))
-        dcw = jax.lax.dynamic_slice(dcst_p, (0, s0 + 1, 0), (P, W + B, K))
+        dpkw = jax.lax.dynamic_slice(dpk_p, (0, s0 + 1, 0), (P, W + B, K))
+        dcw = dpkw >> 1
+        rs0w = (dpkw & 1) > 0               # ring-0 hit flag per candidate
 
-        # full-length edges: cost and target are dp-independent
+        # full-length edges: the dist + copy-extra part is dp-independent
         ccf = cpy_code_vec(jnp.maximum(clenw, 2))
-        full_cc = jnp.take_along_axis(
-            ccq, ccf.reshape(P, -1), axis=1).reshape(P, W + B, K)
-        full_edge = jnp.minimum(dcw + full_cc, INF_Q)       # [P, W+B, K]
+        full_rest = jnp.minimum(dcw + jnp.take(cpyx_c, ccf), INF_Q)
         o_idx = jnp.arange(W + B, dtype=I32)[None, :, None]
         full_t = o_idx + clenw - W
         full_ok = (clenw >= 2) & (full_t >= 0) & (full_t < B)
         full_ti = jnp.where(full_ok, full_t, B).reshape(P, -1)
 
-        # bucket-base edge costs (dp-independent): [P, B, nL, K]
+        # bucket-base edges: dist + copy-extra part [P, B, nL, K]
         cl_g = clenw[:, u_grid, :]                          # [P, B, nL, K]
         dc_g = dcw[:, u_grid, :]
-        base_edge = jnp.minimum(dc_g + ccL[:, None, :, None], INF_Q)
+        rs0_g = rs0w[:, u_grid, :]
+        base_rest = jnp.minimum(
+            dc_g + cpyx_b[None, None, :, None], INF_Q)
         base_ok = cl_g >= lens_c[None, None, :, None]
-        base_edge = jnp.where(base_ok, base_edge, INF_Q)
         base_tag = lens_c[None, None, :, None]              # from_len
 
         # literal prefix sums for the closure: lp[t] = litq(byte s0+t)
@@ -294,40 +319,91 @@ def dp_parse(litq, cand_len, dcostq, ccq, B: int, W: int, R: int):
         A = jnp.cumsum(lp, axis=1)                          # inclusive
 
         seed = dpwin[:, W - 1] >> LEN_BITS
+        seed_anch = anchwin[:, W - 1]
+        # absolute node position of concat cell u / block cell t
+        pos_cat = s0 + 1 + jnp.arange(W + B, dtype=I32)[None, :] - W
+        pos_blk = pos_cat[:, W:]
+        bidx = jnp.arange(B, dtype=I32)[None, :]
 
-        def closure(dp_blk):
+        def closure(dp_blk, anch_blk):
             c = dp_blk >> LEN_BITS
             m = c - A
-            z = jax.lax.cummin(
-                jnp.concatenate([seed[:, None], m[:, :-1]], axis=1), axis=1)
+            srcm = jnp.concatenate([seed[:, None], m[:, :-1]], axis=1)
+            # packed argmin: value in high bits, source cell in low 6
+            # (m >= -A_total > -4096: litq < 64 half-bits/byte, B <= 63)
+            zp = jax.lax.cummin(((srcm + 4096) << 6) | bidx, axis=1)
+            z = (zp >> 6) - 4096
+            widx = zp & 63
             litc = jnp.minimum(z + A, INF_Q)
-            return jnp.where(litc < c, litc << LEN_BITS, dp_blk)
+            take_lit = litc < c
+            anch_src = jnp.concatenate(
+                [seed_anch[:, None], anch_blk[:, :-1]], axis=1)
+            win_anch = jnp.take_along_axis(anch_src, widx, axis=1)
+            dp_blk = jnp.where(take_lit, litc << LEN_BITS, dp_blk)
+            anch_blk = jnp.where(take_lit, win_anch, anch_blk)
+            return dp_blk, anch_blk
 
-        def round_body(_, dp_blk):
-            dp_blk = closure(dp_blk)
+        def round_body(_, carry_rb):
+            dp_blk, anch_blk = carry_rb
+            dp_blk, anch_blk = closure(dp_blk, anch_blk)
+            dp0 = dp_blk
             dp_cat = jnp.concatenate([dpwin, dp_blk], axis=1)
             cost_cat = dp_cat >> LEN_BITS
-            # gather relax over bucket-base lengths
+            anch_cat = jnp.concatenate([anchwin, anch_blk], axis=1)
+            pend = jnp.clip(pos_cat - anch_cat, 0, 1 << 22)
+            ic_u = ins_code_vec(pend)                       # [P, W+B]
+            insx_u = jnp.take(insx_c, ic_u)
+
+            # gather relax over bucket-base lengths (cc static per l)
             src = cost_cat[:, u_grid]                       # [P, B, nL]
-            tot = jnp.minimum(src[:, :, :, None] + base_edge, INF_Q)
+            ic_g = ic_u[:, u_grid]
+            jidx = (ic_g * 24 + ccb[None, None, :]).reshape(P, -1)
+            jE = jnp.take_along_axis(jointEq, jidx, axis=1) \
+                .reshape(P, B, nL)
+            jL = jnp.take_along_axis(jointLq, jidx, axis=1) \
+                .reshape(P, B, nL)
+            cmd_e = src + insx_u[:, u_grid] + jE            # [P, B, nL]
+            tot = jnp.minimum(cmd_e[:, :, :, None] + base_rest, INF_Q)
+            # use_last channel: ring-0 candidates emit no distance at all
+            cmd_l = src + insx_u[:, u_grid] + jL
+            totL = jnp.minimum(
+                cmd_l[:, :, :, None] + cpyx_b[None, None, :, None], INF_Q)
+            tot = jnp.where(rs0_g, jnp.minimum(tot, totL), tot)
+            tot = jnp.where(base_ok, tot, INF_Q)
             comb = (tot << LEN_BITS) | base_tag
             best = jnp.min(comb.reshape(P, B, nL * K), axis=2)
             dp_blk = jnp.minimum(dp_blk, best)
+
             # scatter relax for full candidate lengths
-            fcost = jnp.minimum(
-                cost_cat[:, :, None] + full_edge, INF_Q)
+            jfi = (ic_u[:, :, None] * 24 + ccf).reshape(P, -1)
+            jEf = jnp.take_along_axis(jointEq, jfi, axis=1) \
+                .reshape(P, W + B, K)
+            jLf = jnp.take_along_axis(jointLq, jfi, axis=1) \
+                .reshape(P, W + B, K)
+            head = cost_cat[:, :, None] + insx_u[:, :, None]
+            fE = jnp.minimum(head + jEf + full_rest, INF_Q)
+            fL = jnp.minimum(head + jLf + jnp.take(cpyx_c, ccf), INF_Q)
+            fcost = jnp.where(rs0w, jnp.minimum(fE, fL), fE)
+            fcost = jnp.where(full_ok, fcost, INF_Q)
             fcomb = ((fcost << LEN_BITS) | clenw).reshape(P, -1)
             dp_blk = dp_blk.at[rows, full_ti].min(fcomb, mode="drop")
-            return dp_blk
 
-        dp_blk = jax.lax.fori_loop(
-            0, R, round_body, jnp.full((P, B), INF_C, I32))
-        dp_blk = closure(dp_blk)
+            # a winning match relax ends a command at its target
+            anch_blk = jnp.where(dp_blk < dp0, pos_blk, anch_blk)
+            return dp_blk, anch_blk
+
+        dp_blk, anch_blk = jax.lax.fori_loop(
+            0, R, round_body,
+            (jnp.full((P, B), INF_C, I32), jnp.zeros((P, B), I32)))
+        dp_blk, anch_blk = closure(dp_blk, anch_blk)
         new_win = jnp.concatenate([dpwin, dp_blk], axis=1)[:, -W:]
-        return new_win, dp_blk
+        new_anch = jnp.concatenate([anchwin, anch_blk], axis=1)[:, -W:]
+        return (new_win, new_anch), dp_blk
 
-    _, blocks = jax.lax.scan(block, init_win, jnp.arange(nblocks))
+    _, blocks = jax.lax.scan(block, (init_win, init_anch),
+                             jnp.arange(nblocks))
     return jnp.transpose(blocks, (1, 0, 2)).reshape(P, S)
+
 
 
 def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
@@ -406,13 +482,15 @@ def find_commands_dp(pages, in_sizes, max_cmds: int,
     greedy = tuple(np.asarray(x) for x in (ins, cpy, dist, ncmds))
     base_len, base_dist = find_candidates(pages, sizes, W)
     for _ in range(iters):
-        litq, ccq, cand_len, cand_dist, dcostq = build_cost_model(
+        (litq, jointEq, jointLq, cand_len, cand_dist,
+         dpackq) = build_cost_model(
             pages, sizes, ins, cpy, dist, ncmds, base_len, base_dist,
             max_cmds)
         ins_n, cpy_n, dist_n, nc_n = backtrack(
-            np.asarray(dp_parse(litq, cand_len, dcostq, ccq, B, W, R)),
+            np.asarray(dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
+                                B, W, R)),
             np.asarray(cand_len), np.asarray(cand_dist),
-            np.asarray(dcostq), np.asarray(in_sizes), max_cmds)
+            np.asarray(dpackq) >> 1, np.asarray(in_sizes), max_cmds)
         over = nc_n < 0
         if over.any():
             for p in np.nonzero(over)[0]:
