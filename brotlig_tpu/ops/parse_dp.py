@@ -278,8 +278,6 @@ def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
         [[W + t - l for l in LENS] for t in range(B)], np.int32)  # [B, nL]
 
     lens_c = jnp.asarray(lens_np)
-    insx_c = jnp.asarray(_INS_EXTRA_Q)
-    cpyx_c = jnp.asarray(_CPY_EXTRA_Q)
     cpyx_b = jnp.asarray(_CPY_EXTRA_Q[cc_np])               # [nL]
     ccb = jnp.asarray(cc_np)
 
@@ -299,7 +297,8 @@ def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
 
         # full-length edges: the dist + copy-extra part is dp-independent
         ccf = cpy_code_vec(jnp.maximum(clenw, 2))
-        full_rest = jnp.minimum(dcw + jnp.take(cpyx_c, ccf), INF_Q)
+        cpyx_f = 2 * arith_lut.copy_extra(ccf)
+        full_rest = jnp.minimum(dcw + cpyx_f, INF_Q)
         o_idx = jnp.arange(W + B, dtype=I32)[None, :, None]
         full_t = o_idx + clenw - W
         full_ok = (clenw >= 2) & (full_t >= 0) & (full_t < B)
@@ -352,7 +351,7 @@ def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
             anch_cat = jnp.concatenate([anchwin, anch_blk], axis=1)
             pend = jnp.clip(pos_cat - anch_cat, 0, 1 << 22)
             ic_u = ins_code_vec(pend)                       # [P, W+B]
-            insx_u = jnp.take(insx_c, ic_u)
+            insx_u = 2 * arith_lut.insert_extra(ic_u)
 
             # gather relax over bucket-base lengths (cc static per l)
             src = cost_cat[:, u_grid]                       # [P, B, nL]
@@ -382,7 +381,7 @@ def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
                 .reshape(P, W + B, K)
             head = cost_cat[:, :, None] + insx_u[:, :, None]
             fE = jnp.minimum(head + jEf + full_rest, INF_Q)
-            fL = jnp.minimum(head + jLf + jnp.take(cpyx_c, ccf), INF_Q)
+            fL = jnp.minimum(head + jLf + cpyx_f, INF_Q)
             fcost = jnp.where(rs0w, jnp.minimum(fE, fL), fE)
             fcost = jnp.where(full_ok, fcost, INF_Q)
             fcomb = ((fcost << LEN_BITS) | clenw).reshape(P, -1)

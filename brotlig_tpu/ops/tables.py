@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..format import constants as C
 from .bits import peek_bits
@@ -158,16 +159,24 @@ def build_search(lengths: jnp.ndarray, max_len: int, table_bits: int):
     symdict   : [P, A] symbols in canonical (len, symbol) order
     """
     P, A = lengths.shape
-    counts = []
-    for l in range(max_len + 1):
-        counts.append(jnp.sum(lengths == l, axis=1))
-    counts = jnp.stack(counts, axis=1).astype(I32)  # [P, max_len+1]
+    L16 = max_len + 1
+    lens_i = jnp.clip(lengths, 0, max_len).astype(I32)
+    # one-hot over code lengths: ONE [P, A, L16] tensor replaces the
+    # per-length count/rank loops (~45 tiny ops -> ~6; the table stage's
+    # cost here is dispatch count, not FLOPs — PERF.md round-4)
+    oh = (lens_i[:, :, None]
+          == jnp.arange(L16, dtype=I32)[None, None, :]).astype(I32)
+    counts = jnp.sum(oh, axis=1)                    # [P, L16]
     counts = counts.at[:, 0].set(0)
 
-    first = [jnp.zeros((P,), I32)]
-    for l in range(1, max_len + 1):
-        first.append((first[l - 1] + counts[:, l - 1]) << 1)
-    first = jnp.stack(first, axis=1)
+    # first[l] = sum_{j<l} counts[j] << (l-j)  (canonical recurrence
+    # first[l] = (first[l-1]+counts[l-1])*2 unrolled into one int matmul)
+    M = np.zeros((L16, L16), np.int32)
+    for l in range(1, L16):
+        for j in range(1, l):                       # counts[0] forced 0
+            M[l, j] = 1 << (l - j)
+    first = jnp.einsum("pj,lj->pl", counts, jnp.asarray(M),
+                       preferred_element_type=jnp.int32)
 
     limit = (first + counts) << (
         table_bits - jnp.arange(max_len + 1, dtype=I32))[None, :]
@@ -175,10 +184,10 @@ def build_search(lengths: jnp.ndarray, max_len: int, table_bits: int):
 
     # canonical (len, symbol) order via counting ranks + one scatter —
     # avoids an argsort over the alphabet (XLA:TPU sorts are many-pass)
-    rank_same = jnp.zeros((P, A), I32)
-    for l in range(1, max_len + 1):
-        c = jnp.cumsum((lengths == l).astype(I32), axis=1)
-        rank_same = jnp.where(lengths == l, c - 1, rank_same)
+    excl = jnp.cumsum(oh, axis=1) - oh              # [P, A, L16]
+    rank_same = jnp.where(
+        lens_i > 0,
+        jnp.take_along_axis(excl, lens_i[:, :, None], axis=2)[:, :, 0], 0)
     off_sym = jnp.take_along_axis(
         offset, jnp.clip(lengths, 0, max_len).astype(I32), axis=1)
     rank = jnp.where(lengths > 0, off_sym + rank_same, A)
