@@ -873,9 +873,6 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
     SUB = cw // 128
     CW = cw
     ngrp = S // CW
-    # command-rank window per group: a group consumes <= CW/2+1 ranks,
-    # rounded up to whole 128-rows (+1 row of slack for the search)
-    WIN = ((CW // 2 + 1 + 127) // 128 + 1) * 128
 
     def kernel(st_ref, cst_ref, lst_ref, dst_ref, chs_ref,
                lit_ref, out_ref):
@@ -905,45 +902,85 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
         def chunk_body(c, carry):
             c0, lc0 = carry                      # [pb,1] per-page cursors
             base = c * CW
-            pos = base + sub3 * 128 + lane3      # [4, pb, 128]
+            pos = base + sub3 * 128 + lane3      # [SUB, pb, 128]
 
-            # command-field windows: WIN ranks starting at c0, as 4 rows
-            idxr = [jnp.clip(c0 + r * 128 + lane, 0, ncmd_pad - 1)
-                    for r in range(WIN // 128)]
-            kmin = jnp.min(idxr[0]) >> 7
-            kmax = jnp.max(idxr[-1]) >> 7
+            # covering-command search: 256-rank window from the per-page
+            # cursor + binary search, retried forward when a lane's
+            # cover lies past the window (same windowed pattern as
+            # lit_search below). Replaces the round-4 worst-case WIN
+            # (= CW/2+1 ranks, 6 rows at cw=1024) window load + 10-step
+            # ladder search: typical groups consume well under 256
+            # ranks, so the common case is ONE retry round over 2 rows —
+            # ~3x fewer per-group gathers (VERDICT r4 next item 1, the
+            # "two-level cmd_of" lever).
+            def cmd_search(carry):
+                ccov, pend, t = carry
+                on = pend != 0
+                widx0 = jnp.clip(c0 + t * 255 + lane, 0, ncmd_pad - 1)
+                widx1 = jnp.clip(c0 + t * 255 + 128 + lane, 0,
+                                 ncmd_pad - 1)
+                kmin = jnp.min(widx0) >> 7
+                kmax = jnp.max(widx1) >> 7
 
-            def wbody(k, acc):
-                out = []
-                for ref, rows in zip((st_ref, cst_ref, lst_ref, dst_ref),
-                                     acc):
-                    ch = ref[k]
-                    out.append(tuple(
-                        jnp.where((idxr[r] >> 7) == k,
-                                  jnp.take_along_axis(ch, idxr[r] & 127,
-                                                      axis=1), rows[r])
-                        for r in range(WIN // 128)))
-                return tuple(out)
+                def rbody(k, acc):
+                    a0, a1 = acc
+                    ch = st_ref[k]
+                    g0 = jnp.take_along_axis(ch, widx0 & 127, axis=1)
+                    g1 = jnp.take_along_axis(ch, widx1 & 127, axis=1)
+                    return (jnp.where((widx0 >> 7) == k, g0, a0),
+                            jnp.where((widx1 >> 7) == k, g1, a1))
 
-            zrows = tuple(jnp.zeros((pb, 128), I32)
-                          for _ in range(WIN // 128))
-            w_st, w_cst, w_lst, w_dst = jax.lax.fori_loop(
-                kmin, kmax + 1, wbody, (zrows,) * 4)
+                rw0, rw1 = jax.lax.fori_loop(
+                    kmin, kmax + 1, rbody,
+                    (jnp.zeros((pb, 128), I32),
+                     jnp.zeros((pb, 128), I32)))
+                ll = jnp.zeros((SUB, pb, 128), I32)
+                for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                    pr = ll + step
+                    prc = jnp.clip(pr, 0, 255)
+                    v = jnp.where(prc < 128,
+                                  g2d(rw0, prc & 127),
+                                  g2d(rw1, prc & 127))
+                    ll = jnp.where((pr <= 255) & (v <= pos), pr, ll)
+                ok = on & (ll < 255)
+                ccov = jnp.where(ok, c0 + t * 255 + ll, ccov)
+                return (ccov, jnp.where(ok, 0, pend), t + 1)
 
-            # per-lane binary search: largest rank with start <= pos
-            lo = jnp.zeros((SUB, pb, 128), I32)
-            step = 1 << ((WIN - 1).bit_length() - 1)
-            while step:
-                probe = lo + step
-                sp = sub_ladder(w_st, jnp.clip(probe, 0, WIN - 1))
-                lo = jnp.where((probe <= WIN - 1) & (sp <= pos), probe, lo)
-                step >>= 1
-            rel = lo
+            zero3 = jnp.zeros((SUB, pb, 128), I32)
+            # NB: named ccov, NOT cov — lit_search below rebinds `cov`
+            # for its record index, and the cursor update at the end of
+            # the group must see the COMMAND cover (a shadowing bug here
+            # silently advanced the cursor past covers on pages whose
+            # record count exceeds their command count)
+            ccov, _, _ = jax.lax.while_loop(
+                lambda car: jnp.max(car[1]) > 0, cmd_search,
+                (zero3, jnp.ones((SUB, pb, 128), I32), jnp.int32(0)))
+            ccov = jnp.clip(ccov, 0, ncmd_pad - 1)
 
-            st_l = sub_ladder(w_st, rel)
-            cst_l = sub_ladder(w_cst, rel)
-            lst_l = sub_ladder(w_lst, rel)
-            dst_l = sub_ladder(w_dst, rel)
+            # fields at the covering rank: distinct 128-rank chunks only
+            # (min-of-pending ladder; covers lie within the few chunks a
+            # group's rank span touches)
+            cwcmd = ccov >> 7
+            ccl = ccov & 127
+
+            def fbody(carry):
+                st_l, cst_l, lst_l, dst_l, pend = carry
+                on = pend != 0
+                k = jnp.min(jnp.where(on, cwcmd, ncmdch))
+                kk = jnp.clip(k, 0, ncmdch - 1)
+                hit = on & (cwcmd == k)
+                outs = []
+                for ref, cur in ((st_ref, st_l), (cst_ref, cst_l),
+                                 (lst_ref, lst_l), (dst_ref, dst_l)):
+                    g = g2d(ref[kk], ccl)
+                    outs.append(jnp.where(hit, g, cur))
+                return (outs[0], outs[1], outs[2], outs[3],
+                        jnp.where(hit, 0, pend))
+
+            st_l, cst_l, lst_l, dst_l, _ = jax.lax.while_loop(
+                lambda car: jnp.max(car[4]) > 0, fbody,
+                (zero3, zero3, zero3, zero3,
+                 jnp.ones((SUB, pb, 128), I32)))
 
             in_ins = pos < cst_l
             lit_id = jnp.clip(lst_l + (pos - st_l), 0, cbucket * 128 - 1)
@@ -1075,7 +1112,7 @@ def make_phase_b_kernel_wide(S: int, nch: int, ncmdch: int, nrecch: int,
                     pk = jnp.where((lane >> 5) == si, part, pk)
                 out_ref[pl.ds(c * (CW // 512) + hrow, 1)] = pk[None]
 
-            return (jnp.max(c0 + rel, axis=(0, 2))[:, None], lc0)
+            return (jnp.max(ccov, axis=(0, 2))[:, None], lc0)
 
         jax.lax.fori_loop(0, ngrp, chunk_body,
                           (jnp.zeros((pb, 1), I32),
@@ -1472,21 +1509,62 @@ def _fused_chunks(page_size: int, max_cmds: int, lit_mult: int = 4) -> int:
     return max_cmds // NBS + lit_mult * ((page_size + 64) // CHUNK_W) + 2
 
 
-def fused_bounds(page_size: int, max_cmds: int, tight: bool):
+def default_mc_bucket(page_size: int, max_cmds: int) -> int:
+    """The safe default command-plane bucket: page_size/4 commands (avg
+    covered length < 4 B/cmd only on near-incompressible data, which the
+    encoders store raw)."""
+    return min(max_cmds, max((page_size // 4 + 127) // 128 * 128, 2048))
+
+
+def mc_bucket_for(page_size: int, max_cmds: int, peak_cmds: int) -> int:
+    """Bucket a host-known command-count hint (e.g. the previous batch's
+    observed peak, or a warmup run's) to a bounded ladder of compiled
+    variants: powers of two from 2048 up to the page_size/4 default.
+
+    Smaller buckets shrink the fused kernel's dominant VMEM term (the
+    four command planes) so _fused_pb fits more pages per block, which
+    directly divides the lockstep round-loop and sweep iteration counts
+    (VERDICT r4 next item 1). An undershot hint is caught by the stats
+    overflow check and rerun — degrade, never corrupt."""
+    top = default_mc_bucket(page_size, max_cmds)
+    b = 2048
+    while b < min(peak_cmds, top):
+        b *= 2
+    return min(b, top)
+
+
+def ch_bucket_for(page_size: int, max_cmds: int, peak_chunks: int) -> int:
+    """Bucket a host-known literal-chunk-count hint (the kernel stats'
+    chunk peak) to powers of two — the literal plane is the other large
+    VMEM term next to the command planes."""
+    top = _fused_chunks(page_size, default_mc_bucket(page_size, max_cmds),
+                        lit_mult=2)
+    b = 256
+    while b < min(peak_chunks, top):
+        b *= 2
+    return min(b, top)
+
+
+def fused_bounds(page_size: int, max_cmds: int, mc_bucket: int,
+                 ch_bucket: int = 0):
     """(command bound, literal-chunk capacity) for the fused kernel.
 
-    tight=True buckets the command planes at page_size/4 commands (avg
-    covered length < 4 B/cmd only on near-incompressible data, which the
-    encoders store raw) and halves the literal-chunk slack: the VMEM
-    footprint shrinks ~40%, letting _fused_pb fit 2x the pages per block
-    and halving the lockstep round-loop iteration count. Overflow is
-    detected from the kernel's stats output (rounds used == R, or chunk
-    count at capacity) and the batch reruns with the full bounds — the
-    same degrade-don't-corrupt pattern as the literal-chunk fallback."""
-    if not tight:
+    mc_bucket > 0 buckets the command planes at that many commands and
+    halves the literal-chunk slack; ch_bucket > 0 additionally buckets
+    the literal-chunk capacity (the other dominant VMEM term). Smaller
+    bounds let _fused_pb fit more pages per block, dividing the lockstep
+    round-loop iteration count. Overflow is detected from the kernel's
+    stats output (rounds used == R, or chunk count at capacity) and the
+    batch reruns with the full bounds — the same degrade-don't-corrupt
+    pattern as the literal-chunk fallback. mc_bucket == 0 = full
+    worst-case bounds (ch_bucket is ignored then)."""
+    if not mc_bucket:
         return max_cmds, _fused_chunks(page_size, max_cmds)
-    mc = min(max_cmds, max((page_size // 4 + 127) // 128 * 128, 2048))
-    return mc, _fused_chunks(page_size, mc, lit_mult=2)
+    mc = min(max_cmds, max((mc_bucket + 127) // 128 * 128, 2048))
+    chunks = _fused_chunks(page_size, mc, lit_mult=2)
+    if ch_bucket:
+        chunks = min(chunks, max(ch_bucket, 64))
+    return mc, chunks
 
 
 def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
@@ -1737,37 +1815,39 @@ def _fused_pb(P: int, wc: int, page_size: int, max_cmds: int,
     nch = page_size // 128
     wpp = (2 * wc * 128 + 4 * ncmdch * 128 + cb4 * 128 + nrecch * 128
            + (nch // 4) * 128 + 2 * (NC_ICP + NC_DST + NC_LIT) * 128
-           + 3 * 4 * 128 + 1024)      # 3 tables x (lim/first/off + triv)
+           # 3 tables x (lim/first/off + triv), double-buffered like the
+           # other pipelined inputs (ADVICE r4)
+           + 2 * 3 * 4 * 128 + 1024)
     pb = min(32, P)
     while pb > 1 and (pb * wpp * 4 > 13 * (1 << 20) or P % pb):
         pb -= 1
     return pb
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def decode_fused_pallas(words: jnp.ndarray, in_sizes: jnp.ndarray,
                         page_size: int, max_cmds: int, wl: int,
                         interpret: bool = False, sweep_cw: int = 128,
-                        tight: bool = False):
+                        mc_bucket: int = 0, ch_bucket: int = 0):
     """Headers in XLA, tables on-chip, then ONE fused Pallas kernel for
     the whole page decode (phase A + phase B). Returns (out
     [P, page_size] uint8, isdelta [P], ncmds [P], stats [P, 2]).
 
-    tight=True runs with bucketed command/chunk bounds (fused_bounds):
-    2x pages per block, caller MUST check stats for overflow and rerun
-    with tight=False (decode.py::_finish_fused_state does)."""
+    mc_bucket > 0 runs with bucketed command/chunk bounds (fused_bounds):
+    more pages per block; the caller MUST check stats for overflow and
+    rerun with mc_bucket=0 (decode.py::_finish_fused_state does)."""
     buf3, npostfix, ndirect, isdelta = \
         _parse_and_interleave(words, in_sizes, wl)
     return decode_fused_from_buf(buf3, npostfix, ndirect, isdelta,
                                  page_size, max_cmds, interpret, sweep_cw,
-                                 tight)
+                                 mc_bucket, ch_bucket)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def decode_fused_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
                           page_size: int, max_cmds: int,
                           interpret: bool = False, sweep_cw: int = 128,
-                          tight: bool = False):
+                          mc_bucket: int = 0, ch_bucket: int = 0):
     """Fused decode from an already-interleaved buffer (host-staged via
     native.stage_pages or _parse_and_interleave): on-chip table load +
     the fused phase A+B kernel."""
@@ -1781,7 +1861,8 @@ def decode_fused_from_buf(buf3: jnp.ndarray, npostfix, ndirect, isdelta,
     bp0 = jnp.pad(bp_local, ((0, 0), (0, 128 - NBS)))
     npd = jnp.stack([npostfix, ndirect], axis=1)
 
-    max_cmds, max_chunks = fused_bounds(page_size, max_cmds, tight)
+    max_cmds, max_chunks = fused_bounds(page_size, max_cmds, mc_bucket,
+                                        ch_bucket)
     pb = _fused_pb(P, wc, page_size, max_cmds, max_chunks)
     ncmdch = (max_cmds + 127) // 128
     nrecch = (max_chunks + 127) // 128
