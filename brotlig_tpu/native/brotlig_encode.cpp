@@ -704,6 +704,12 @@ struct CostModel {
   // long-insert text commands, part of the q11 text parse gap)
   double cmd_sym[2][24][24];
   double lit_step_extra;
+  // distance parameterization the serializer will pick for this stream
+  // (grid-searched over the previous pass's distances, round 5): pricing
+  // relaxes with the REAL (npostfix, ndirect) instead of (0, 0) — short
+  // distances under ndirect cost no extra bits, which makes short-copy
+  // edges viable on stride-structured data
+  uint32_t npostfix = 0, ndirect = 0;
 };
 
 void BuildCostModel(const uint8_t* d, uint32_t n,
@@ -715,6 +721,11 @@ void BuildCostModel(const uint8_t* d, uint32_t n,
   uint64_t nl = tail, insert_extra = 0;
   uint32_t pos = 0;
   uint32_t ring[4] = {4, 11, 15, 16};
+  // replay pass 1: ring symbols + the explicit-distance set (ring codes
+  // do not depend on (npostfix, ndirect), so the grid search below can
+  // run on the collected explicit distances alone)
+  std::vector<std::pair<uint32_t, uint32_t>> replay;  // (ringsym, dist)
+  replay.reserve(cmds.size());
   for (auto& c : cmds) {
     for (uint32_t i = 0; i < c.ins; ++i) hl[d[pos + i]]++;
     nl += c.ins;
@@ -723,23 +734,74 @@ void BuildCostModel(const uint8_t* d, uint32_t n,
     insert_extra += kInsExtra[ic];
     h_ic[ic]++;
     if (!c.cpy) continue;
-    // replay the serializer's symbol assignment (ring-aware) so the
-    // histograms match what the next pass will pay
     uint32_t sym = RingShortCode(c.dist, ring);
-    if (sym == UINT32_MAX) {
-      uint32_t nb, ex;
-      EncodeDistance(c.dist, 0, 0, sym, nb, ex);
-    }
-    uint32_t cc = GetCopyCode(c.cpy);
-    bool use_last = (sym == 0 && ic < 8 && cc < 16);
-    hc[CombineLengthCodes(ic, cc, use_last)]++;
-    if (!use_last && sym < kDistAlphabet) hd[sym]++;
+    replay.push_back({sym, c.dist});
     if (sym != 0) {
       ring[3] = ring[2]; ring[2] = ring[1]; ring[1] = ring[0];
       ring[0] = c.dist;
     }
   }
   for (uint32_t i = tail ? n - tail : n; i < n; ++i) hl[d[i]]++;
+
+  // (npostfix, ndirect) grid over the explicit distances — the same
+  // search the serializer runs (EncodePageFromCommands), so relax prices
+  // distances under the parameterization the stream will actually use
+  {
+    double best_cost = 1e99;
+    uint32_t best_np = 0, best_nd = 0;
+    for (uint32_t np = 0; np <= 3; ++np) {
+      for (uint32_t nd_msb = 0; nd_msb <= 15; ++nd_msb) {
+        uint32_t nd = nd_msb << np;
+        std::vector<uint32_t> h(kDistAlphabet, 0);
+        uint64_t extra_bits = 0;
+        bool ok = true;
+        for (auto& rp : replay) {
+          if (rp.first != UINT32_MAX) continue;
+          uint32_t sym, nb, ex;
+          EncodeDistance(rp.second, np, nd, sym, nb, ex);
+          if (sym >= kDistAlphabet) { ok = false; break; }
+          h[sym]++;
+          extra_bits += nb;
+        }
+        if (!ok) continue;
+        double cost = static_cast<double>(extra_bits);
+        double total = 0;
+        for (uint32_t s = 0; s < kDistAlphabet; ++s) total += h[s];
+        for (uint32_t s = 0; s < kDistAlphabet; ++s)
+          if (h[s]) {
+            cost -= h[s] * std::log2(h[s] / total);
+            cost += 6.0;
+          }
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_np = np;
+          best_nd = nd;
+        }
+      }
+    }
+    cm->npostfix = best_np;
+    cm->ndirect = best_nd;
+  }
+
+  // replay pass 2: symbol histograms under the chosen parameterization
+  {
+    size_t ri = 0;
+    for (auto& c : cmds) {
+      if (!c.cpy) continue;
+      uint32_t sym = replay[ri].first;
+      uint32_t dist = replay[ri].second;
+      ++ri;
+      if (sym == UINT32_MAX) {
+        uint32_t nb, ex;
+        EncodeDistance(dist, cm->npostfix, cm->ndirect, sym, nb, ex);
+      }
+      uint32_t ic = GetInsertCode(c.ins);
+      uint32_t cc = GetCopyCode(c.cpy);
+      bool use_last = (sym == 0 && ic < 8 && cc < 16);
+      hc[CombineLengthCodes(ic, cc, use_last)]++;
+      if (!use_last && sym < kDistAlphabet) hd[sym]++;
+    }
+  }
 
   // literal costs: actual depth-limited code lengths; unseen symbols get
   // an entropy-scale penalty (they would lengthen the stored table too)
@@ -808,13 +870,72 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
   const double* distcost = cm.distcost;
   const double lit_step_extra = cm.lit_step_extra;
 
-  // hash chains for pass 2
-  std::vector<int32_t> head(1 << kHashBits, -1);
-  std::vector<int32_t> prev(n ? n : 1, -1);
+  // binary tree over suffixes per 4-byte-hash bucket — the H10 hasher
+  // class brotli's HQ Zopfli uses (the reference's q11 matchfinder,
+  // PageEncoder.cpp:87-147): one combined insert+search walk per
+  // position yields a best-length candidate ladder (closest distance
+  // per improving length), strictly better candidate quality than a
+  // hash chain at equal depth (round 5; replaced the 512-deep chain)
+  constexpr int kBtHashBits = 18;
+  std::vector<int32_t> head(1 << kBtHashBits, -1);
+  std::vector<int32_t> bt(2ull * (n ? n : 1), -1);
   auto hash4 = [&](uint32_t pos) {
     uint32_t v;
     std::memcpy(&v, d + pos, 4);
-    return (v * kHashMul) >> (32 - kHashBits);
+    return (v * kHashMul) >> (32 - kBtHashBits);
+  };
+  auto bt_insert_search = [&](uint32_t i, uint32_t bestL0, bool emit,
+                              auto&& on_match) {
+    uint32_t h = hash4(i);
+    int32_t cur = head[h];
+    head[h] = static_cast<int32_t>(i);
+    int32_t* pleft = &bt[2ull * i];       // suffixes < suffix(i)
+    int32_t* pright = &bt[2ull * i + 1];  // suffixes > suffix(i)
+    uint32_t lcpl = 0, lcpr = 0;          // lcp-skip (standard BT trick)
+    uint32_t bestL = bestL0;
+    int depth = 64;
+    const uint8_t* b = d + i;
+    const uint32_t limit = n - i;
+    while (cur >= 0 && depth-- > 0) {
+      const uint8_t* a = d + cur;
+      uint32_t L = std::min(lcpl, lcpr);
+      while (L < limit && a[L] == b[L]) ++L;
+      if (emit && L > bestL) {
+        on_match(i - static_cast<uint32_t>(cur), L);
+        bestL = L;
+      }
+      if (L >= limit) {
+        // b's whole suffix matched: no byte to order on; splice cur's
+        // children in its place (cur drops out of the tree)
+        *pleft = bt[2ull * cur];
+        *pright = bt[2ull * cur + 1];
+        return;
+      }
+      if (a[L] < b[L]) {
+        *pleft = cur;
+        pleft = &bt[2ull * cur + 1];
+        cur = *pleft;
+        lcpl = L;
+      } else {
+        *pright = cur;
+        pright = &bt[2ull * cur];
+        cur = *pright;
+        lcpr = L;
+      }
+    }
+    *pleft = -1;
+    *pright = -1;
+  };
+  // most-recent position per 3-gram: len-2/3 copy candidates that the
+  // 4-byte hash cannot see. Short copies at small distances pay once the
+  // cost model prices distances under the real ndirect (round 5) — the
+  // lever for stride-structured data where chance 3-gram repeats are
+  // everywhere but 4-gram matches are rare
+  std::vector<int32_t> head3(1 << 14, -1);
+  std::vector<int32_t> prev3(n ? n : 1, -1);
+  auto hash3 = [&](uint32_t pos) {
+    uint32_t v = d[pos] | (d[pos + 1] << 8) | (d[pos + 2] << 16);
+    return (v * kHashMul) >> (32 - 14);
   };
 
   // precompute distance-1 run lengths in O(n): run_d1[i] = longest L with
@@ -848,6 +969,7 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
       anch[i + 1] = anch[i];
     }
     uint32_t skip_to = 0;  // set by the long-match cutoff
+    bool inserted_bt = false;
     if (i + 2 <= n) {
       auto relax = [&](uint32_t dist, uint32_t maxlen) {
         if (!dist || maxlen < 2) return;
@@ -859,7 +981,7 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
           dc = distcost[rsym];
         } else {
           uint32_t sym, nb, ex;
-          EncodeDistance(dist, 0, 0, sym, nb, ex);
+          EncodeDistance(dist, cm.npostfix, cm.ndirect, sym, nb, ex);
           dc = (sym < kDistAlphabet ? distcost[sym] : 20.0) + nb;
         }
         std::array<uint32_t, 4> rnew = ringst[i];
@@ -904,8 +1026,21 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
       // distance extra bits, so even len 2-3 can pay (brotli's Zopfli
       // checks its distance cache the same way)
       if (ring_aware) {
-        for (int k = 0; k < 4; ++k) {
-          uint32_t dist = ringst[i][k];
+        // exact ring entries, plus the +/-{1,2,3} offsets of ring[0]
+        // and ring[1] (short codes 4-15; zero extra bits) — brotli's
+        // Zopfli probes its distance cache the same way
+        uint32_t probes[10];
+        int np3 = 0;
+        probes[np3++] = ringst[i][0];
+        probes[np3++] = ringst[i][1];
+        probes[np3++] = ringst[i][2];
+        probes[np3++] = ringst[i][3];
+        for (uint32_t mag = 1; mag <= 3; ++mag) {
+          if (ringst[i][0] > mag) probes[np3++] = ringst[i][0] - mag;
+          probes[np3++] = ringst[i][0] + mag;
+        }
+        for (int k = 0; k < np3; ++k) {
+          uint32_t dist = probes[k];
           if (!dist || dist > i) continue;
           const uint8_t* a = d + i - dist;
           const uint8_t* b = d + i;
@@ -915,53 +1050,57 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
           if (L >= 2) relax(dist, L);
         }
       }
+      // 3-gram probe: a short chain of recent occurrences; only
+      // worthwhile when the distance is cheap (<= a few direct/short
+      // symbols), which the relax cost model decides — the probe just
+      // supplies edges the 4-byte hash cannot see
+      if (i + 3 <= n) {
+        int32_t c3 = head3[hash3(i)];
+        const uint8_t* b = d + i;
+        uint32_t best3 = 0;
+        for (int ch3 = 0; ch3 < 16 && c3 >= 0 && i - c3 <= 65536; ++ch3) {
+          const uint8_t* a = d + c3;
+          uint32_t limit = std::min(n - i, 64u);
+          uint32_t L = 0;
+          while (L < limit && a[L] == b[L]) ++L;
+          if (L >= 2 && L > best3) {
+            relax(i - c3, L);
+            best3 = L;
+          }
+          c3 = prev3[c3];
+        }
+      }
       uint32_t rl = std::min<uint32_t>(run_d1[i], n - i);
       relax(1, rl);
       uint32_t bestL = rl;
-      // inside a long run, hash candidates add nothing the run lacks
-      if (rl < 64 && i + 4 <= n) {
-        int32_t cand = head[hash4(i)];
-        int chain = max_chain;
-        const uint8_t* b = d + i;
-        while (cand >= 0 && chain-- > 0) {
-          const uint8_t* a = d + cand;
-          // cheap reject: a candidate that cannot beat bestL differs at
-          // offset bestL
-          if (bestL > 0 && (i + bestL >= n || a[bestL] != b[bestL])) {
-            cand = prev[cand];
-            continue;
-          }
-          uint32_t limit = std::min(n - i, kLcpCap);
-          uint32_t L = 0;
-          while (L < limit && a[L] == b[L]) ++L;
-          if (L >= kLcpCap) {  // winner hit the cap: extend uncapped
-            limit = n - i;
-            while (L < limit && a[L] == b[L]) ++L;
-          }
-          if (L > bestL) {
-            relax(i - cand, L);
-            bestL = L;
-            // good-enough cutoff: stop refining long matches
-            if (L >= 256 || L >= n - i) break;
-          }
-          cand = prev[cand];
-        }
+      // binary-tree candidates (search half of the combined op below):
+      // inside a long run candidates add nothing the run lacks
+      if (i + 4 <= n) {
+        bt_insert_search(i, bestL, rl < 64,
+                         [&](uint32_t dist, uint32_t L) {
+                           relax(dist, L);
+                           if (L > bestL) bestL = L;
+                         });
+        inserted_bt = true;
       }
       // very long matches are committed immediately (zopfli-style cutoff):
       // transitions from inside the covered span add ~nothing and cost n*L
       if (bestL >= 325) skip_to = i + bestL - 1;
     }
-    if (i + 4 <= n) {
-      uint32_t h = hash4(i);
-      prev[i] = head[h];
-      head[h] = static_cast<int32_t>(i);
+    if (!inserted_bt && i + 4 <= n)
+      bt_insert_search(i, 0, false, [](uint32_t, uint32_t) {});
+    if (i + 3 <= n) {
+      uint32_t h3 = hash3(i);
+      prev3[i] = head3[h3];
+      head3[h3] = static_cast<int32_t>(i);
     }
     if (skip_to > i) {
-      // sparse hash insertion across the skipped span
+      // sparse insertion across the skipped span
       for (uint32_t p2 = i + 8; p2 + 4 <= n && p2 < skip_to; p2 += 8) {
-        uint32_t h = hash4(p2);
-        prev[p2] = head[h];
-        head[h] = static_cast<int32_t>(p2);
+        bt_insert_search(p2, 0, false, [](uint32_t, uint32_t) {});
+        uint32_t h3 = hash3(p2);
+        prev3[p2] = head3[h3];
+        head3[h3] = static_cast<int32_t>(p2);
       }
       i = skip_to;
     }
@@ -990,23 +1129,33 @@ void ParseOptimalPass(const uint8_t* d, uint32_t n, int max_chain,
   out_tail = n - pos;
 }
 
-void ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
-                  bool ring_aware, std::vector<Cmd>& out_cmds,
-                  uint32_t& out_tail) {
+bool ParseOptimal(const uint8_t* d, uint32_t n, int max_chain,
+                  bool ring_aware, bool npnd_aware,
+                  std::vector<Cmd>& out_cmds, uint32_t& out_tail) {
   // pass 0: greedy statistics; then iterate the cost model, like the
-  // reference's Zopfli iterations (SURVEY §2.11)
+  // reference's Zopfli iterations (SURVEY §2.11). npnd_aware=false
+  // forces (npostfix, ndirect) = (0, 0) pricing; returns whether any
+  // iteration actually priced under a nonzero parameterization (callers
+  // skip the redundant second variant when not).
   std::vector<Cmd> cur;
   uint32_t cur_tail = 0;
   FindMatches(d, n, max_chain, cur, cur_tail);
   CostModel cm;
+  bool npnd_used = false;
   int iters = ring_aware ? 3 : 2;
   for (int it = 0; it < iters; ++it) {
     BuildCostModel(d, n, cur, cur_tail, &cm);
+    if (!npnd_aware) {
+      cm.npostfix = 0;
+      cm.ndirect = 0;
+    }
+    npnd_used |= (cm.npostfix != 0 || cm.ndirect != 0);
     cur.clear();
     ParseOptimalPass(d, n, max_chain, cm, ring_aware, cur, cur_tail);
   }
   out_cmds = std::move(cur);
   out_tail = cur_tail;
+  return npnd_used;
 }
 
 std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
@@ -1028,14 +1177,21 @@ std::vector<uint8_t> EncodePage(const uint8_t* data, uint32_t n,
   // (PageEncoder.cpp:87-147 wraps BrotliCreateHqZopfliBackwardReferences);
   // 256 -> 512 in round 4: -0.15% corpus for ~1.4x q11 wall time
   max_chain = std::max(max_chain, 512);
-  // q11: cost-model optimal parses with and without ring-aware distance
-  // costs (the ring approximation wins on data with repeated strides and
-  // loses on some text; neither dominates), keep the smallest page
+  // q11: cost-model optimal parses, best-of over the pricing variants —
+  // ring-aware distances, and (round 5) whether relax prices distances
+  // under the grid-searched (npostfix, ndirect) or under (0, 0). The
+  // parameterized pricing wins on stride-structured data (short-distance
+  // copies become viable) but can mislead the model on small streams, so
+  // neither dominates; the second variant is skipped when the model
+  // never picked a nonzero parameterization.
   std::vector<uint8_t> best = greedy;
-  for (int ra = 1; ra < 2; ++ra) {
+  bool npnd_used = false;
+  for (int v = 0; v < 2; ++v) {
+    if (v == 1 && !npnd_used) break;
     std::vector<Cmd> ocmds;
     uint32_t otail = 0;
-    ParseOptimal(data, n, max_chain, ra != 0, ocmds, otail);
+    npnd_used = ParseOptimal(data, n, max_chain, true, v == 0, ocmds,
+                             otail) || npnd_used;
     std::vector<Cmd> ocopy = ocmds;
     std::vector<uint8_t> opt =
         EncodePageFromCommands(data, n, is_last, ocmds, otail);
