@@ -222,10 +222,10 @@ def build_cost_model(pages, in_sizes, ins, cpy, dist, ncmds, base_len,
     return litq, jointEq, jointLq, cand_len, cand_dist, dpackq
 
 
-# insert/copy extra-bit widths by code (RFC 7932), half-bit units
-_INS_EXTRA_Q = 2 * np.asarray(
-    [0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
-     6, 7, 8, 9, 10, 12, 14, 24], np.int32)
+# copy extra-bit widths by code (RFC 7932), half-bit units. Insert extra
+# bits are priced at runtime via 2*arith_lut.insert_extra (ADVICE r4
+# removed the dead static twin); this copy table is pinned equal to
+# 2*arith_lut.copy_extra by tests/test_ops_encode.py.
 _CPY_EXTRA_Q = 2 * np.asarray(
     [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4,
      5, 5, 6, 7, 8, 9, 10, 24], np.int32)
@@ -405,13 +405,20 @@ def dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
 
 
 
-def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
+def backtrack(combined_np, cand_len_np, cand_dist_np, dpackq_np,
               in_sizes_np, max_cmds: int):
     """Walk DP backpointers into dense (ins, cpy, dist, ncmds) arrays.
 
     Literal runs cost one bisect per command, not one step per byte:
     `ends` lists every dp index whose best in-edge is a match, and the
-    literal chase from q is exactly "last such index <= q"."""
+    literal chase from q is exactly "last such index <= q".
+
+    dpackq_np carries (distance cost << 1) | ring0 flag: the DP edge may
+    have won through the implicit-ring0 (use_last) channel, which only a
+    ring0 candidate realizes, so one is preferred at the winning
+    (start, L) before falling back to the cheapest explicit distance
+    (ADVICE r4: emitting the explicit argmin there mismatched the cost
+    the DP priced)."""
     P, S = combined_np.shape
     flen = (combined_np & ((1 << LEN_BITS) - 1)).astype(np.int64)
     ins_o = np.zeros((P, max_cmds), np.int32)
@@ -434,9 +441,14 @@ def backtrack(combined_np, cand_len_np, cand_dist_np, dcostq_np,
             L = int(fl[e - 1])
             start = e - L
             ks = np.nonzero(cand_len_np[p, start] >= L)[0]
-            # matches the kernel's edge min: same (target, L) -> the
-            # cheapest distance wins
-            k = ks[np.argmin(dcostq_np[p, start, ks])]
+            pk = dpackq_np[p, start, ks]
+            r0 = ks[(pk & 1) > 0]
+            if r0.size:
+                # a ring0 candidate realizes the use_last channel the DP
+                # may have priced (no distance emission at all)
+                k = r0[np.argmin(dpackq_np[p, start, r0] >> 1)]
+            else:
+                k = ks[np.argmin(pk >> 1)]
             cmds.append((start, L, int(cand_dist_np[p, start, k])))
             q = start
         if len(cmds) > max_cmds:
@@ -489,7 +501,7 @@ def find_commands_dp(pages, in_sizes, max_cmds: int,
             np.asarray(dp_parse(litq, cand_len, dpackq, jointEq, jointLq,
                                 B, W, R)),
             np.asarray(cand_len), np.asarray(cand_dist),
-            np.asarray(dpackq) >> 1, np.asarray(in_sizes), max_cmds)
+            np.asarray(dpackq), np.asarray(in_sizes), max_cmds)
         over = nc_n < 0
         if over.any():
             for p in np.nonzero(over)[0]:

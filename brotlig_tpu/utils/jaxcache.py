@@ -66,8 +66,10 @@ def map_region_count() -> int:
         return 0
 
 
-# Comfortable margin under the Linux default vm.max_map_count (65530).
-MAP_REGION_SOFT_LIMIT = 40_000
+# Comfortable margin under the Linux default vm.max_map_count (65530):
+# a single heavy test (interpret-mode Pallas fused compiles) can add
+# >20K regions, so the guard fires well before half the hard limit.
+MAP_REGION_SOFT_LIMIT = 30_000
 
 
 def clear_if_bloated(limit: int = MAP_REGION_SOFT_LIMIT) -> bool:

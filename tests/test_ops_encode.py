@@ -190,3 +190,12 @@ class TestParseDP:
                                jnp.zeros(arr.shape[0], jnp.int32))
             sizes_of[name] = int(np.asarray(osz).sum())
         assert sizes_of["dp"] < sizes_of["greedy"], sizes_of
+
+
+def test_parse_dp_static_copy_extra_matches_lut():
+    # the DP's static half-bit copy-extra table must equal the runtime
+    # arithmetic LUT (ADVICE r4: a drifting static twin prices edges wrong)
+    from brotlig_tpu.ops import arith_lut
+    from brotlig_tpu.ops.parse_dp import _CPY_EXTRA_Q
+    got = 2 * np.asarray(arith_lut.copy_extra(jnp.arange(24, dtype=jnp.int32)))
+    assert np.array_equal(_CPY_EXTRA_Q, got)
