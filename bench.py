@@ -232,9 +232,9 @@ def main():
         return out
 
     ladder = [(variant, sweep_cw)]
-    if (variant, sweep_cw) == ("fused", 1024):     # default: full ladder
-        ladder += [("fused", 512), ("two_phase", 512), ("two_phase", 128),
-                   ("xla", 512)]
+    if (variant, sweep_cw) == ("fused", 2048):     # default: full ladder
+        ladder += [("fused", 1024), ("fused", 512), ("two_phase", 512),
+                   ("two_phase", 128), ("xla", 512)]
     elif variant != "xla":
         ladder += [("xla", 512)]
     out_np = None

@@ -528,7 +528,7 @@ def _pallas_interpret() -> bool:
     return dev.platform not in ("tpu", "axon")
 
 
-VALID_SWEEP_CW = (128, 512, 1024)
+VALID_SWEEP_CW = (128, 512, 1024, 2048)
 VALID_VARIANTS = ("fused", "two_phase", "xla")
 
 
@@ -548,7 +548,7 @@ def env_decode_opts():
             variant = "fused"
     if variant not in VALID_VARIANTS:
         raise ValueError(f"BLG_VARIANT={variant!r} not in {VALID_VARIANTS}")
-    cw = int(os.environ.get("BLG_SWEEP_CW", "1024"))
+    cw = int(os.environ.get("BLG_SWEEP_CW", "2048"))
     if cw not in VALID_SWEEP_CW:
         raise ValueError(f"BLG_SWEEP_CW={cw} not in {VALID_SWEEP_CW}")
     return variant, cw

@@ -140,7 +140,7 @@ FAST_PROBE_WORDS = 3  # fast tier: candidate ranking LCP cap = 12 bytes
 
 
 def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
-                  fast: bool = False):
+                  fast: bool = False, with_tri: bool = False):
     """Shared match scan: longest candidate per position (with run-1 and
     log-depth chain extension) plus the NUM_NEAR nearest-predecessor
     candidates.
@@ -311,22 +311,49 @@ def _scan_matches(pages: jnp.ndarray, in_sizes: jnp.ndarray,
     best_len = jnp.minimum(best_len, jnp.maximum(limit - iota, 0))
     near_len = jnp.minimum(near_len,
                            jnp.maximum(limit - iota, 0)[:, :, None])
+
+    # family 3 (DP only): 3-byte keys, the len-2/3 short-copy candidates
+    # the 4-byte families cannot see. Short copies at small distances pay
+    # under the searched ndirect / ring offset codes (the native round-5
+    # 3-gram probe's device twin); LCP cap 8 bytes — longer matches are
+    # the other families' job. Hash collisions are harmless: the ranking
+    # LCP counts real bytes, so false pairs gate out at < 2.
+    if with_tri and not fast:
+        b0 = pages.astype(jnp.uint32)
+        tri = b0
+        for k in range(1, 3):
+            tri = tri | (jnp.concatenate(
+                [b0[:, k:], jnp.zeros((P, k), jnp.uint32)], axis=1)
+                << (8 * k))
+        h3 = ((tri * np.uint32(0x9E3779B1))
+              >> np.uint32(32 - HASH_BITS)).astype(I32)
+        h3 = jnp.where(iota + 3 <= limit, h3,
+                       (1 << HASH_BITS) + (iota & 0xFF))
+        _, _, t_len, t_dist = probe_family(h3, 2, 2, 2)
+        t_len = jnp.where(t_len >= 2, t_len, 0)
+        t_len = jnp.minimum(t_len, jnp.maximum(limit - iota, 0)[:, :, None])
+        return best_len, best_dist, near_len, near_dist, (t_len, t_dist)
     return best_len, best_dist, near_len, near_dist
 
 
 @partial(jax.jit, static_argnums=(2,))
 def find_candidates(pages: jnp.ndarray, in_sizes: jnp.ndarray, cap: int):
     """Per-position match candidates for the DP parse: slot 0 = longest,
-    slots 1..NUM_NEAR = nearest predecessors (smallest distance first).
-    Lengths clipped to `cap` (the DP's relaxation window). Returns
-    (cand_len, cand_dist) [P, S, 1 + NUM_NEAR] int32."""
-    best_len, best_dist, near_len, near_dist = _scan_matches(pages, in_sizes)
+    then the nearest 4/8-byte-key predecessors (smallest distance
+    first), then two 3-byte-key channels whose len-2/3 short copies only
+    the DP can price (gated at >= 2 instead of MIN_MATCH). Lengths
+    clipped to `cap` (the DP's relaxation window). Returns
+    (cand_len, cand_dist) [P, S, K] int32."""
+    best_len, best_dist, near_len, near_dist, (t_len, t_dist) = \
+        _scan_matches(pages, in_sizes, with_tri=True)
     cand_len = jnp.concatenate(
         [jnp.minimum(best_len, cap)[:, :, None],
          jnp.minimum(near_len, cap)], axis=2)
     cand_dist = jnp.concatenate(
         [best_dist[:, :, None], near_dist], axis=2)
     cand_len = jnp.where(cand_len >= MIN_MATCH, cand_len, 0)
+    cand_len = jnp.concatenate([cand_len, jnp.minimum(t_len, cap)], axis=2)
+    cand_dist = jnp.concatenate([cand_dist, t_dist], axis=2)
     return cand_len, cand_dist
 
 

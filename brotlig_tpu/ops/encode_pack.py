@@ -82,26 +82,30 @@ def _lengths_from_hist(hist, total):
         lens = jnp.where(over[:, None] & (lens > 0),
                          jnp.minimum(lens + 1, 15), lens)
     # refine: ceil(-log2 p) wastes up to 1 bit/symbol; hand the remaining
-    # Kraft slack to the most frequent symbols (greedy, ~2 bits of the
-    # optimum for the heavy symbols that carry most of the output bits)
+    # Kraft slack to the most frequent symbols. Vectorized prefix
+    # allocation (round 5): ONE sort by count, then each pass shortens
+    # the count-ordered prefix whose cumulative widening cost fits the
+    # slack — ~40 ops instead of the 48-pick argmax loop's ~1800 (the
+    # serializer's single largest op-count block; XLA per-op overhead is
+    # the q1 encode bound on this host). A symbol can shorten once per
+    # pass, so repeats recover the old loop's multi-shortenings.
     units = jnp.where(lens > 0, jnp.int32(1) << (15 - lens), 0)
     slack = (1 << 15) - jnp.sum(units, axis=1)
-    # single-pick greedy: repeatedly shorten the heaviest symbol that still
-    # fits the slack (batched by-count variants were tried and regressed —
-    # the right priority is count, one symbol at a time)
-    for _ in range(48):
-        cost = jnp.where(lens > 1, jnp.int32(1) << (15 - lens),
-                         jnp.int32(1) << 20)
-        eligible = (lens > 1) & (cost <= slack[:, None]) & (hist > 0)
-        score = jnp.where(eligible, hist, -1)
-        pick = jnp.argmax(score, axis=1)
-        ok = jnp.take_along_axis(score, pick[:, None], axis=1)[:, 0] > 0
-        picked_cost = jnp.take_along_axis(cost, pick[:, None],
-                                          axis=1)[:, 0]
-        dec = jnp.zeros_like(lens).at[
-            jnp.arange(P), pick].set(ok.astype(I32))
-        lens = lens - dec
-        slack = slack - jnp.where(ok, picked_cost, 0)
+    order = jnp.argsort(-jnp.where(hist > 0, hist, -1), axis=1,
+                        stable=True)
+    inv = jnp.argsort(order, axis=1, stable=True)
+    hist_s = jnp.take_along_axis(hist, order, axis=1)
+    for _ in range(3):
+        elig = (lens > 1) & (hist > 0)
+        cost = jnp.where(elig, jnp.int32(1) << (15 - jnp.clip(lens, 1, 15)),
+                         0)
+        cost_s = jnp.take_along_axis(cost, order, axis=1)
+        elig_s = jnp.take_along_axis(elig.astype(I32), order, axis=1) > 0
+        cum = jnp.cumsum(cost_s, axis=1)
+        pay_s = elig_s & (cum <= slack[:, None]) & (hist_s > 0)
+        slack = slack - jnp.sum(jnp.where(pay_s, cost_s, 0), axis=1)
+        pay = jnp.take_along_axis(pay_s.astype(I32), inv, axis=1)
+        lens = lens - pay
     return lens
 
 
@@ -985,6 +989,49 @@ def _pack_jit(pages, in_sizes, page_size, max_cmds, ins, cpy, dist, ncmds,
                              page_size, max_cmds, isdelta)
 
 
+def _pack_partitioned(pages, in_sizes, page_size: int, max_cmds: int,
+                      ins, cpy, dist, ncmds, isdelta):
+    """Pack pages in command-count groups (round 5).
+
+    The emission schedule's round count R — and with it every
+    [P, 32, Edyn] emission plane — derives from the command bound, which
+    was the worst case page_size/4 for every page. Grouping pages by
+    their REAL command count (known before packing) onto a power-of-two
+    bucket ladder shrinks the schedule ~2-8x for typical pages without
+    letting one dense page widen the whole batch; group row counts are
+    power-of-two padded so compiled shapes stay bounded. Returns
+    (out [P, cap] uint8 np, out_sizes [P] int32 np)."""
+    P = pages.shape[0]
+    nc = np.asarray(ncmds)
+    groups: dict = {}
+    for i in range(P):
+        b = 2048
+        while b < int(nc[i]) + 2:
+            b *= 2
+        b = min(b, max_cmds)
+        groups.setdefault(b, []).append(i)
+    outs = np.zeros((P, page_size), np.uint8)
+    out_sizes = np.zeros(P, np.int32)
+    ncj = jnp.asarray(ncmds)
+    isdj = jnp.asarray(isdelta)
+    for b, idxs in sorted(groups.items()):
+        g = len(idxs)
+        gb = 1
+        while gb < g:
+            gb *= 2
+        rows = idxs + [idxs[0]] * (gb - g)
+        rix = jnp.asarray(np.asarray(rows, np.int32))
+        o, sz = _pack_jit(pages[rix], in_sizes[rix], page_size, b,
+                          ins[rix, :b], cpy[rix, :b], dist[rix, :b],
+                          ncj[rix], isdj[rix])
+        o_np = np.asarray(o)
+        sz_np = np.asarray(sz)
+        for r, i in enumerate(idxs):
+            outs[i] = o_np[r]
+            out_sizes[i] = sz_np[r]
+    return outs, out_sizes
+
+
 def encode_pages_device(pages_np, in_sizes_np, page_size: int,
                         isdelta_np=None, raw_pages_np=None,
                         quality: int = 11):
@@ -1012,17 +1059,15 @@ def encode_pages_device(pages_np, in_sizes_np, page_size: int,
     if isdelta_np is None:
         isdelta_np = np.zeros(pages_np.shape[0], dtype=np.int32)
     isdelta = jnp.asarray(isdelta_np, dtype=jnp.int32)
-    out, sizes = _pack_jit(pages, in_sizes, page_size, max_cmds,
-                           *greedy, isdelta)
-    out_np = np.asarray(out)
-    sizes_np = np.asarray(sizes)
+    out_np, sizes_np = _pack_partitioned(pages, in_sizes, page_size,
+                                         max_cmds, *greedy, isdelta)
     if quality >= 10:
         from .parse_dp import find_commands_dp
         dcmds = find_commands_dp(pages_np, in_sizes_np, max_cmds,
                                  greedy_cmds=greedy)
-        out2, sizes2 = _pack_jit(pages, in_sizes, page_size, max_cmds,
-                                 *(jnp.asarray(x) for x in dcmds), isdelta)
-        out2_np, sizes2_np = np.asarray(out2), np.asarray(sizes2)
+        out2_np, sizes2_np = _pack_partitioned(
+            pages, in_sizes, page_size, max_cmds,
+            *(jnp.asarray(x) for x in dcmds), isdelta)
         win = sizes2_np < sizes_np
         out_np = np.where(win[:, None], out2_np, out_np)
         sizes_np = np.where(win, sizes2_np, sizes_np)

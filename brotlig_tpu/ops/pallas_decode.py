@@ -345,11 +345,10 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
         extract = L.extract
         decode_sym = L.decode_sym
 
-        # ---- literal chunk: 4 chained batches of 32 literals ----
-        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
-            w = fetch6(bp)
-            sh = bcast_slots(bp & 31)
-            delta = jnp.zeros((pb, 128), I32)
+        # ---- literal chunks: 4 chained batches of 32 literals each ----
+        def lit_block(w, sh, delta, lbase, rlit):
+            """One 128-literal chunk from an already-fetched window,
+            chaining the bit-consumption prefix `delta`."""
             block = jnp.zeros((pb, 128), I32)
             for jj in range(LSLOTS):
                 win15 = extract(w, sh, delta, 15)
@@ -363,8 +362,9 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
                 block = jnp.where(j_of == jj, placed, block)
                 # carry the consumed-bits prefix to the next batch's lanes
                 delta = bcast_slots(delta)
-            bp = bp + jnp.where(lane < NBS, delta, 0)
+            return block, delta
 
+        def emit_chunk(block, cidx, qtail, lbase, rlit, pk):
             cw = jnp.minimum(cidx, maxc1)
             # pack 4 slot chunks per int32 word (byte q = chunk 4a+q at
             # the same lane); DMA one packed row per 4 chunks
@@ -393,7 +393,31 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
             start = qtail + jnp.minimum(lbase, rlit)
             count = jnp.clip(rlit - lbase, 0, CHUNK_W)
             rec_out[pl.ds(cw, 1), :] = col_to_row((start << 8) | count)
+            return pk
+
+        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            block, delta = lit_block(w, sh, jnp.zeros((pb, 128), I32),
+                                     lbase, rlit)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+            pk = emit_chunk(block, cidx, qtail, lbase, rlit, pk)
             return bp, cidx + 1, pk
+
+        def lit_chunk_pair(lbase, bp, cidx, qtail, rlit, pk):
+            """TWO chunks per window fetch: 8 batches consume <= 151 of
+            the 192-bit hold, halving the literal loop's fetch + sync
+            trips (round 5; trips were ~79% of phase-A iterations)."""
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            delta = jnp.zeros((pb, 128), I32)
+            block, delta = lit_block(w, sh, delta, lbase, rlit)
+            pk = emit_chunk(block, cidx, qtail, lbase, rlit, pk)
+            block, delta = lit_block(w, sh, delta, lbase + CHUNK_W, rlit)
+            pk = emit_chunk(block, cidx + 1, qtail, lbase + CHUNK_W,
+                            rlit, pk)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+            return bp, cidx + 2, pk
 
         # ---- command round ----
         def round_body(carry):
@@ -491,8 +515,9 @@ def make_phase_a_kernel(page_size: int, max_cmds: int, wc: int,
 
             def lit_body(c):
                 lbase, bp, cidx, pk = c
-                bp, cidx, pk = lit_chunk(lbase, bp, cidx, qtail, rlit, pk)
-                return lbase + CHUNK_W, bp, cidx, pk
+                bp, cidx, pk = lit_chunk_pair(lbase, bp, cidx, qtail,
+                                              rlit, pk)
+                return lbase + 2 * CHUNK_W, bp, cidx, pk
 
             _, bp, cidx, pk = jax.lax.while_loop(
                 lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx, pk))
@@ -1442,7 +1467,7 @@ def _phase_b_sweep(ncmds, slots4, cbucket, recs, ins_a, cpy_a, dcode_a,
     # at cw=512, 2026-08-18); sweep_cw=128 selects the narrow kernel as
     # fallback, 1024 the double-wide round-4 variant. sweep_cw is a
     # per-call static arg so bench.py can A/B it at runtime
-    if sweep_cw in (512, 1024) and S % sweep_cw == 0:
+    if sweep_cw in (512, 1024, 2048) and S % sweep_cw == 0:
         kernel = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
                                           cbucket, pb, sweep_cw)
     else:
@@ -1582,7 +1607,7 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
     nch = S // 128
     maxc1 = max_chunks - 1
 
-    if sweep_cw in (512, 1024) and S % sweep_cw == 0:
+    if sweep_cw in (512, 1024, 2048) and S % sweep_cw == 0:
         sweep = make_phase_b_kernel_wide(S, nch, ncmdch, nrecch,
                                          max_chunks, pb, sweep_cw)
     else:
@@ -1635,11 +1660,10 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
             plane[pl.ds(chunk, 1)] = jnp.where(
                 (lane >> 5) == q, place(v, q), row)[None]
 
-        # ---- literal chunk (plane-sink twin of phase A's lit_chunk) ----
-        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
-            w = fetch6(bp)
-            sh = bcast_slots(bp & 31)
-            delta = jnp.zeros((pb, 128), I32)
+        # ---- literal chunks (plane-sink twin of phase A's lit_chunk) ----
+        def lit_block(w, sh, delta, lbase, rlit):
+            """Decode one 128-literal chunk from an already-fetched
+            window, chaining the bit-consumption prefix `delta`."""
             block = jnp.zeros((pb, 128), I32)
             for jj in range(LSLOTS):
                 win15 = extract(w, sh, delta, 15)
@@ -1652,8 +1676,9 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
                     jnp.where(lane < NBS, sym, 0)
                 block = jnp.where(j_of == jj, placed, block)
                 delta = bcast_slots(delta)
-            bp = bp + jnp.where(lane < NBS, delta, 0)
+            return block, delta
 
+        def emit_chunk(block, cidx, qtail, lbase, rlit, pk):
             cw = jnp.minimum(cidx, maxc1)
             q = cidx & 3
             pk = jnp.where(q == 0, block, pk | (block << (q * 8)))
@@ -1667,7 +1692,32 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
             recs_pl[pl.ds(cw >> 7, 1)] = jnp.where(
                 lane == (cw & 127), jnp.broadcast_to(start, (pb, 128)),
                 row)[None]
+            return pk
+
+        def lit_chunk(lbase, bp, cidx, qtail, rlit, pk):
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            block, delta = lit_block(w, sh, jnp.zeros((pb, 128), I32),
+                                     lbase, rlit)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+            pk = emit_chunk(block, cidx, qtail, lbase, rlit, pk)
             return bp, cidx + 1, pk
+
+        def lit_chunk_pair(lbase, bp, cidx, qtail, rlit, pk):
+            """TWO chunks per window fetch: 8 batches consume <= 151 of
+            the 192-bit hold, so the loop's fetch6 + scalar sync are
+            amortized over 256 literals (round 5: literal loop trips
+            were ~79% of phase-A iterations on the bench corpus)."""
+            w = fetch6(bp)
+            sh = bcast_slots(bp & 31)
+            delta = jnp.zeros((pb, 128), I32)
+            block, delta = lit_block(w, sh, delta, lbase, rlit)
+            pk = emit_chunk(block, cidx, qtail, lbase, rlit, pk)
+            block, delta = lit_block(w, sh, delta, lbase + CHUNK_W, rlit)
+            pk = emit_chunk(block, cidx + 1, qtail, lbase + CHUNK_W,
+                            rlit, pk)
+            bp = bp + jnp.where(lane < NBS, delta, 0)
+            return bp, cidx + 2, pk
 
         # ---- command round (plane-sink twin of phase A's round_body) ----
         def round_body(carry):
@@ -1760,8 +1810,9 @@ def make_fused_kernel(page_size: int, max_cmds: int, wc: int, pb: int,
 
             def lit_body(c):
                 lbase, bp, cidx, pk = c
-                bp, cidx, pk = lit_chunk(lbase, bp, cidx, qtail, rlit, pk)
-                return lbase + CHUNK_W, bp, cidx, pk
+                bp, cidx, pk = lit_chunk_pair(lbase, bp, cidx, qtail,
+                                              rlit, pk)
+                return lbase + 2 * CHUNK_W, bp, cidx, pk
 
             _, bp, cidx, pk = jax.lax.while_loop(
                 lit_cond, lit_body, (jnp.int32(CHUNK_W), bp, cidx, pk))
