@@ -137,13 +137,18 @@ def test_fused_mc_hint_overflow_rerun():
     assert keep
     words, sizes = batch([c for c, _ in keep], n)
     s_hint = PD.stream_words_hint([c for c, _ in keep])
+    # a reduced command bound (still >= the pages' real counts) and the
+    # narrow sweep kernel keep the three interpret-mode kernel variants
+    # this test compiles small; the bucket/rerun machinery under test is
+    # bound- and sweep-width-agnostic
+    mc = 8192
 
     notes = {}
     # mc_hint=1 -> floor bucket (2048 commands): full text pages carry
     # thousands of commands, so this MUST overflow and rerun
-    out, _ = decode_pages(words, sizes, n, max_cmds_for(n),
+    out, _ = decode_pages(words, sizes, n, mc,
                           w_hint=None, s_hint=s_hint, variant="fused",
-                          sweep_cw=512, mc_hint=1, notes=notes)
+                          sweep_cw=128, mc_hint=1, notes=notes)
     out = np.asarray(out)
     for p, (_, d) in enumerate(keep):
         assert out[p, : len(d)].tobytes() == d
@@ -151,9 +156,9 @@ def test_fused_mc_hint_overflow_rerun():
 
     notes2 = {}
     pc, ch = notes["peak_cmds"], notes["peak_chunks"]
-    out2, _ = decode_pages(words, sizes, n, max_cmds_for(n),
+    out2, _ = decode_pages(words, sizes, n, mc,
                            w_hint=None, s_hint=s_hint, variant="fused",
-                           sweep_cw=512,
+                           sweep_cw=128,
                            mc_hint=(pc + pc // 4 + 32, ch + ch // 4 + 4),
                            notes=notes2)
     out2 = np.asarray(out2)
@@ -161,7 +166,7 @@ def test_fused_mc_hint_overflow_rerun():
     assert not notes2["overflow"]
 
 
-@pytest.mark.parametrize("cw", [512, 1024])
+@pytest.mark.parametrize("cw", [2048])
 def test_single_command_full_page(cw):
     """One command covering the whole page (tiled pattern, period not a
     divisor of the group width): the page's literal-RECORD count exceeds
@@ -185,7 +190,7 @@ def test_single_command_full_page(cw):
         assert np.asarray(out)[0, : n].tobytes() == data, variant
 
 
-@pytest.mark.parametrize("cw", [512, 1024])
+@pytest.mark.parametrize("cw", [2048])
 def test_dense_commands_window_retry(cw):
     """> 255 commands per sweep group: the round-5 windowed covering-
     command search must take its retry path (the 256-rank window cannot
